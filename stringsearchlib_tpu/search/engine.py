@@ -1,0 +1,255 @@
+"""Jitted search orchestrator.
+
+The reference forks two threads per query (std::async at
+nGramSearch.hpp:379-389) and merges hash maps; here the whole of ``_search``
+(nGramSearch.hpp:350-404) compiles to one XLA program per (shape-bucket,
+tier-flag) combination:
+
+  short DP tier + long gram tier -> per-term scores
+  -> threshold gate + weight + segment-max over term->key edges (calcScore,
+     nGramSearch.hpp:310-341, incl. the 0.999 -> 100 exact-match promotion)
+  -> stable multi-key sort (score desc, key length asc; ScoreComparer,
+     nGramSearch.h:262-269) -> static top-k slice + reached count.
+
+Host-side work per query is limited to normalization, gram-slot lookup and
+shape bucketing; everything else runs on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import INT32_MAX, PERFECT_SCORE_CUTOFF, PROMOTED_SCORE
+from ..core import grams as gramlib
+from ..core import text as textlib
+from ..index.build import HostIndex
+from .editdist import dp_match
+from .overlap import gather_hits
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _next_pow2(n: int, lo: int) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+# ---------------------------------------------------------------------------
+# device-side scoring
+# ---------------------------------------------------------------------------
+
+
+def _key_eq_query(di, qtokens, qlen):
+    """(K,) bool: escapeBlank+trim(raw key) == normalized query
+    (exact-match promotion comparison, nGramSearch.hpp:328-336; note the
+    stored key is NOT uppercased, so promotion requires the key text to
+    already match the uppercased query)."""
+    k_tok, k_len = di.key_norm_tokens, di.key_norm_lengths
+    w = min(k_tok.shape[1], qtokens.shape[0])
+    tok_eq = jnp.all(k_tok[:, :w] == qtokens[None, :w], axis=1)
+    return tok_eq & (k_len == qlen)
+
+
+def _term_scores(di, qtokens, qlen, qslots, n_qgrams, *, use_short, brute_long, s_cap):
+    """Per-term scores for both tiers over the global term space [0, T).
+
+    Returns (sA, maskA, sB, maskB): tier A is the DP map (scoreShort),
+    tier B the gram map (scoreLong) - kept separate because the reference
+    thresholds each map independently (two calcScore calls,
+    nGramSearch.hpp:393-394).
+    """
+    ts, tl = di.n_short, di.n_long
+    t = ts + tl
+    qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
+
+    if use_short:
+        m_short = dp_match(di.short_tokens, di.short_lengths, qtokens, qlen)
+        s_short = m_short.astype(jnp.float32) / qlen_f
+        if brute_long:
+            m_long = dp_match(di.long_tokens, di.long_lengths, qtokens, qlen)
+            s_a = jnp.concatenate([s_short, m_long.astype(jnp.float32) / qlen_f])
+            mask_a = jnp.ones((t,), dtype=bool)
+        else:
+            s_a = jnp.concatenate([s_short, jnp.zeros((tl,), jnp.float32)])
+            mask_a = jnp.concatenate(
+                [jnp.ones((ts,), bool), jnp.zeros((tl,), bool)]
+            )
+    else:
+        s_a = jnp.zeros((t,), jnp.float32)
+        mask_a = jnp.zeros((t,), bool)
+
+    hits = gather_hits(di.gram_ptr, di.gram_terms, qslots, tl, s_cap)
+    s_b_long = hits.astype(jnp.float32) / jnp.maximum(
+        n_qgrams.astype(jnp.float32), 1.0
+    )
+    mask_b_long = (hits > 0) & (n_qgrams > 0)
+    s_b = jnp.concatenate([jnp.zeros((ts,), jnp.float32), s_b_long])
+    mask_b = jnp.concatenate([jnp.zeros((ts,), bool), mask_b_long])
+    return s_a, mask_a, s_b, mask_b
+
+
+def _propagate(di, s_a, mask_a, s_b, mask_b, eq_key, threshold):
+    """calcScore over the edge list: threshold gate, weight multiply,
+    segment-max into keys, exact-match promotion."""
+    k = di.n_keys
+    et, ek, ew = di.edge_term, di.edge_key, di.edge_weight
+
+    ta, tb = s_a[et], s_b[et]
+    pa = mask_a[et] & (ta >= threshold)
+    pb = mask_b[et] & (tb >= threshold)
+    va = jnp.where(pa, ew * ta, _NEG_INF)
+    vb = jnp.where(pb, ew * tb, _NEG_INF)
+    val = jnp.maximum(va, vb)
+
+    key_val = jax.ops.segment_max(val, ek, num_segments=k)
+    reached = key_val > _NEG_INF
+    # entryScore's operator[] default-inserts 0 before the max
+    # (nGramSearch.hpp:326), so key scores are floored at 0.
+    score = jnp.where(reached, jnp.maximum(key_val, 0.0), 0.0)
+
+    cutoff = jnp.float32(PERFECT_SCORE_CUTOFF)
+    promo_edge = ((pa & (ta > cutoff)) | (pb & (tb > cutoff))) & eq_key[ek]
+    promoted = (
+        jax.ops.segment_max(promo_edge.astype(jnp.int32), ek, num_segments=k) > 0
+    )
+    score = jnp.where(promoted & reached, jnp.maximum(score, PROMOTED_SCORE), score)
+    return score, reached
+
+
+def _finalize(di, score, reached, top_k: int):
+    """Stable (score desc, key len asc) sort; ties fall back to key id via
+    stability.  Unreached keys sink to the end."""
+    neg = jnp.where(reached, -score, jnp.float32(jnp.inf))
+    ids = jnp.arange(di.n_keys, dtype=jnp.int32)
+    _, _, out_ids, out_scores = jax.lax.sort(
+        (neg, di.key_len, ids, score), num_keys=2, is_stable=True
+    )
+    count = jnp.sum(reached.astype(jnp.int32))
+    return count, out_ids[:top_k], out_scores[:top_k]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("use_short", "brute_long", "s_cap", "top_k")
+)
+def _search_device(
+    di, qtokens, qlen, qslots, n_qgrams, threshold, *, use_short, brute_long, s_cap, top_k
+):
+    s_a, mask_a, s_b, mask_b = _term_scores(
+        di, qtokens, qlen, qslots, n_qgrams,
+        use_short=use_short, brute_long=brute_long, s_cap=s_cap,
+    )
+    eq_key = _key_eq_query(di, qtokens, qlen)
+    score, reached = _propagate(di, s_a, mask_a, s_b, mask_b, eq_key, threshold)
+    return _finalize(di, score, reached, top_k)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def _wildcard_device(di, *, top_k):
+    """Wildcard '' / '*' (nGramSearch.hpp:356-369): every key at its weight
+    (max across edges; the reference's last-writer-wins is unordered)."""
+    k = di.n_keys
+    score = jax.ops.segment_max(di.edge_weight, di.edge_key, num_segments=k)
+    reached = score > _NEG_INF
+    score = jnp.where(reached, score, 0.0)
+    return _finalize(di, score, reached, top_k)
+
+
+# ---------------------------------------------------------------------------
+# host-side per-query front end
+# ---------------------------------------------------------------------------
+
+
+class SearchEngine:
+    """Query front end for one HostIndex: normalization, gram-slot lookup,
+    shape bucketing, jit dispatch, and result materialization."""
+
+    def __init__(self, host: HostIndex):
+        self.host = host
+        self.cfg = host.config
+
+    # -- query prep -----------------------------------------------------
+
+    def _normalize_query(self, query) -> tuple[np.ndarray, int]:
+        tokens, lengths = textlib.encode_batch([query], self.cfg.wide)
+        out, out_len = textlib.normalize_matrix(tokens, lengths, self.host.tables)
+        return out[0], int(out_len[0])
+
+    def _query_buffers(self, qnorm: np.ndarray, qlen: int):
+        g = self.cfg.gram_size
+        qp = _next_pow2(qlen, max(16, self.cfg.query_pad // 4))
+        qtok = np.zeros(qp, dtype=np.int32)
+        qtok[:qlen] = qnorm[:qlen]
+        qmax = qp - g + 1
+        slots = np.full(qmax, -1, dtype=np.int32)
+        n_qgrams = 0
+        if qlen >= g:
+            n_qgrams = qlen - g + 1
+            ids, valid = gramlib.gram_ids(
+                qnorm[None, :max(qlen, g)], np.array([qlen]), g,
+                self.cfg.wide, self.host.vocab,
+            )
+            slots[:n_qgrams] = self.host.lookup_gram_slots(ids[0][valid[0]])
+        # exact total postings for this query, bucketed to bound recompiles
+        lens = self.host.host_posting_lens
+        present = slots[slots >= 0]
+        s_total = int(lens[present].sum()) if present.size else 0
+        s_cap = _next_pow2(max(s_total, 1), 128)
+        return qtok, qmax, slots, n_qgrams, s_cap
+
+    def _top_k(self, limit: int) -> int:
+        k = self.host.device.n_keys
+        if limit <= 0 or limit >= k:
+            return max(k, 1)
+        return min(_next_pow2(limit, 16), max(k, 1))
+
+    # -- public search ----------------------------------------------------
+
+    def search(self, query, threshold: float = 0.0, limit: int = 0):
+        """Returns (result key strings, scores); limit 0 = unbounded
+        (nGramSearch.hpp:454-455)."""
+        if not self.host.indexed:
+            return [], []
+        if limit == 0:
+            limit = INT32_MAX
+        raw = query if isinstance(query, str) else str(query)
+        di = self.host.device
+        top_k = self._top_k(limit)
+
+        if len(raw) == 0 or raw == "*":
+            if di.edge_key.shape[0] == 0:
+                return [], []
+            count, ids, scores = _wildcard_device(di, top_k=top_k)
+        else:
+            qnorm, qlen = self._normalize_query(raw)
+            if qlen == 0:
+                return [], []
+            qtok, qmax, slots, n_qgrams, s_cap = self._query_buffers(qnorm, qlen)
+            use_short = qlen < self.cfg.short_search_cutoff
+            brute_long = qlen <= self.cfg.brute_force_cutoff
+            count, ids, scores = _search_device(
+                di,
+                jnp.asarray(qtok),
+                jnp.int32(qlen),
+                jnp.asarray(slots),
+                jnp.int32(n_qgrams),
+                jnp.float32(threshold),
+                use_short=use_short,
+                brute_long=brute_long,
+                s_cap=s_cap,
+                top_k=top_k,
+            )
+
+        n = min(int(count), limit, int(ids.shape[0]))
+        ids_np = np.asarray(ids[:n])
+        scores_np = np.asarray(scores[:n])
+        return (
+            [self.host.key_strings[i] for i in ids_np],
+            [float(s) for s in scores_np],
+        )

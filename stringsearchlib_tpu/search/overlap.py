@@ -1,0 +1,50 @@
+"""Long-tier gram-overlap scorer (XLA path).
+
+Reproduces ``searchLong`` (nGramSearch.hpp:278-301): every query gram (with
+multiplicity) contributes +1 to every long term in that gram's posting set;
+the score is hits / number-of-query-grams.
+
+TPU-first formulation: the posting lists live as one CSR (gram_ptr,
+gram_terms) pair in HBM.  The query's posting ranges are flattened with the
+standard CSR-expand pattern (cumsum of lengths + searchsorted rank) into a
+statically-bounded id vector, then accumulated with a scatter-add.  The
+static bound ``s_cap`` is chosen host-side from the exact posting lengths of
+the query's grams, bucketed to limit recompiles.
+
+A Pallas kernel replaces the scatter for the production path (ops/); this
+module is the reference XLA implementation and the fallback.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def gather_hits(
+    gram_ptr: jnp.ndarray,  # (G+1,) int32
+    gram_terms: jnp.ndarray,  # (P,) int32
+    slots: jnp.ndarray,  # (Qmax,) int32; -1 = gram absent from index
+    n_long: int,
+    s_cap: int,
+) -> jnp.ndarray:
+    """Hit counts (n_long,) int32 via CSR expand + scatter-add."""
+    if gram_terms.shape[0] == 0 or n_long == 0:
+        return jnp.zeros((n_long,), dtype=jnp.int32)
+    qmax = slots.shape[0]
+    present = slots >= 0
+    slots_c = jnp.maximum(slots, 0)
+    lens = jnp.where(present, gram_ptr[slots_c + 1] - gram_ptr[slots_c], 0)
+    ends = jnp.cumsum(lens)
+    total = ends[-1] if qmax else jnp.int32(0)
+
+    pos = jnp.arange(s_cap, dtype=jnp.int32)
+    rank = jnp.searchsorted(ends, pos, side="right").astype(jnp.int32)
+    rank_c = jnp.minimum(rank, qmax - 1)
+    starts = ends - lens
+    src = gram_ptr[slots_c[rank_c]] + (pos - starts[rank_c])
+    valid = pos < total
+    ids = gram_terms[jnp.clip(src, 0, max(gram_terms.shape[0] - 1, 0))]
+    # invalid lanes target index n_long and are dropped.
+    ids = jnp.where(valid, ids, n_long)
+    hits = jnp.zeros((n_long,), dtype=jnp.int32)
+    return hits.at[ids].add(1, mode="drop")

@@ -1,0 +1,171 @@
+"""Engine conformance: the compiled pipeline must match the oracle exactly.
+
+Covers the golden fixture, tier interactions, promotion, thresholds,
+wildcards, weights, gram sizes 2-4, and randomized property tests
+(SURVEY section 4).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from stringsearchlib_tpu.config import IndexConfig
+from stringsearchlib_tpu.index.build import build_index
+from stringsearchlib_tpu.search.engine import SearchEngine
+from stringsearchlib_tpu.utils.oracle import OracleIndex
+
+FIXTURE = ["LWMS", "LWM", "LWMA", "LWYY", "L", "I", "GHRSDGSDGS Egdsrtg g"]
+
+
+def make_pair(words, row_size=1, weights=None, gram_size=3, wide=False):
+    cfg = IndexConfig(gram_size=gram_size, wide=wide)
+    host = build_index(words, row_size, weights, cfg)
+    oracle = OracleIndex(words, row_size, weights, gram_size=gram_size, wide=wide)
+    return SearchEngine(host), oracle
+
+
+def assert_match(engine, oracle, query, threshold=0.0, limit=0, msg=""):
+    got_s, got_v = engine.search(query, threshold, limit)
+    want_s, want_v = oracle.search(query, threshold, limit)
+    ctx = f"{msg} query={query!r} thr={threshold} limit={limit}"
+    assert len(got_s) == len(want_s), f"{ctx}: count {len(got_s)} != {len(want_s)}"
+    assert got_s == want_s, f"{ctx}: strings {got_s} != {want_s}"
+    np.testing.assert_allclose(got_v, want_v, rtol=0, atol=1e-6, err_msg=ctx)
+
+
+def test_fixture_anchors():
+    engine, oracle = make_pair(FIXTURE)
+    assert engine.host.n_terms == 7
+    assert engine.host.n_grams == 16
+    got_s, got_v = engine.search("LWMS", 0.5, 0)
+    assert len(got_s) == 4
+    assert got_s[0] == "LWMS" and got_v[0] == 100.0
+    assert_match(engine, oracle, "LWMS", 0.5, 0)
+
+
+@pytest.mark.parametrize("query", [
+    "LWMS", "LWM", "lwms", "  lwms  ", "LW", "L", "*", "", "!!!",
+    "GHRSDGSDGS Egdsrtg g", "ghrsdgsdgs", "SDGS", "XYZQ", "LWMSLWMSLWMS",
+])
+@pytest.mark.parametrize("threshold", [0.0, 0.3, 0.5, 0.75, 1.0])
+def test_fixture_queries(query, threshold):
+    engine, oracle = make_pair(FIXTURE)
+    assert_match(engine, oracle, query, threshold, 0)
+    assert_match(engine, oracle, query, threshold, 3)
+
+
+def test_master_key_rows():
+    words = ["Widget A", "wdgt", "gadget a", "Widget B", "wb", "small b"]
+    engine, oracle = make_pair(words, row_size=3)
+    for q in ["WDGT", "wb", "widget", "gadget a", "small", "*"]:
+        assert_match(engine, oracle, q)
+
+
+def test_weights():
+    words = ["keyA", "altA", "keyB", "altB"]
+    weights = [1.0, 0.25, 0.5, 0.0]
+    engine, oracle = make_pair(words, row_size=2, weights=weights)
+    for q in ["ALTA", "ALTB", "KEYA", "keyb", "*", "alt"]:
+        for thr in [0.0, 0.2, 0.3]:
+            assert_match(engine, oracle, q, thr)
+
+
+def test_limit_and_threshold_edges():
+    engine, oracle = make_pair(FIXTURE)
+    for limit in [1, 2, 4, 7, 100]:
+        assert_match(engine, oracle, "LWMS", 0.5, limit)
+    # threshold exactly at a score keeps it (strict '<' drop)
+    assert_match(engine, oracle, "LWMS", 0.75, 0)
+
+
+def test_short_query_brute_force():
+    words = ["ABCDEFGH", "ABX", "xxABCyy zz", "A B C"]
+    engine, oracle = make_pair(words)
+    for q in ["ABC", "AB", "A", "X", "ZZ"]:
+        assert_match(engine, oracle, q, 0.0)
+        assert_match(engine, oracle, q, 0.5)
+
+
+def test_gram_sizes():
+    words = ["alpha beta", "alphabet soup", "beta", "soup", "al", "be"]
+    for g in [2, 3, 4]:
+        engine, oracle = make_pair(words, gram_size=g)
+        for q in ["alpha", "bet", "soup", "alphabet", "zz", "a"]:
+            assert_match(engine, oracle, q, 0.0, msg=f"g={g}")
+            assert_match(engine, oracle, q, 0.4, msg=f"g={g}")
+
+
+def test_wide():
+    words = ["北京烤鸭店", "Càfé au lait", "tokyo tower", "烤鸭"]
+    engine, oracle = make_pair(words, wide=True)
+    for q in ["北京烤鸭", "càfé", "CAFE", "tokyo", "烤鸭", "鸭"]:
+        assert_match(engine, oracle, q, 0.0)
+        assert_match(engine, oracle, q, 0.3)
+
+
+def test_wide_gram4():
+    words = ["北京烤鸭店在北京", "東京タワーの近く", "普通的词条内容"]
+    engine, oracle = make_pair(words, wide=True, gram_size=4)
+    for q in ["北京烤鸭", "タワー", "普通", "XXXX"]:
+        assert_match(engine, oracle, q, 0.0, msg="wide g4")
+
+
+def test_exact_promotion_requires_case_match():
+    # stored key is not uppercased before the comparison
+    # (nGramSearch.hpp:330-332): lowercase keys never promote.
+    engine, oracle = make_pair(["widget", "WIDGET2"])
+    assert_match(engine, oracle, "widget", 0.5)
+    s, v = engine.search("widget", 0.5)
+    assert v[0] < 100.0  # "widget" != "WIDGET"
+    s2, v2 = engine.search("WIDGET2", 0.5)
+    assert v2[0] == 100.0
+
+
+def test_not_indexed():
+    engine, _ = make_pair(["only"])
+    assert engine.search("only") == ([], [])
+
+
+_ALPHABET = "ABCDEFab01.% "
+
+
+def _rand_word(rng, lo=1, hi=14):
+    return "".join(rng.choice(_ALPHABET) for _ in range(rng.randint(lo, hi)))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_property_random_corpus(seed):
+    rng = random.Random(seed)
+    n = rng.randint(4, 40)
+    row_size = rng.choice([1, 1, 2, 3])
+    words = []
+    for _ in range(n):
+        w = _rand_word(rng)
+        words.append(None if rng.random() < 0.05 else w)
+    weights = None
+    if rng.random() < 0.5:
+        weights = [round(rng.random() * 2, 3) for _ in words]
+    g = rng.choice([2, 3, 3])
+    engine, oracle = make_pair(words, row_size=row_size, weights=weights, gram_size=g)
+
+    queries = ["*", "", "zz"]
+    for _ in range(12):
+        base = rng.choice([w for w in words if w] or ["x"])
+        mode = rng.random()
+        if mode < 0.4:
+            q = base
+        elif mode < 0.7:  # substring
+            i = rng.randrange(len(base))
+            q = base[i : i + rng.randint(1, 8)]
+        else:  # mutation
+            chars = list(base)
+            for _ in range(rng.randint(1, 3)):
+                chars[rng.randrange(len(chars))] = rng.choice(_ALPHABET)
+            q = "".join(chars)
+        queries.append(q)
+
+    for q in queries:
+        thr = rng.choice([0.0, 0.2, 0.5])
+        limit = rng.choice([0, 1, 5])
+        assert_match(engine, oracle, q, thr, limit, msg=f"seed={seed}")
