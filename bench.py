@@ -1,0 +1,118 @@
+"""Benchmark: query throughput against a synthetic product-name index.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured queries/s/chip divided by the BASELINE.json
+north-star target (100k queries/s/chip at a 10M-key index, top-100).
+The reference publishes no numbers of its own (BASELINE.md).
+
+Env knobs:
+  BENCH_KEYS      index size (default 1_000_000)
+  BENCH_QUERIES   timed queries (default 512)
+  BENCH_THRESHOLD match threshold (default 0.3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+TARGET_QPS = 100_000.0
+
+_SYLLABLES = [
+    "al", "an", "ar", "ba", "be", "co", "da", "de", "el", "en", "er", "fa",
+    "ga", "gi", "go", "ha", "in", "ka", "la", "le", "li", "lo", "ma", "me",
+    "mi", "mo", "na", "ne", "no", "or", "pa", "pe", "po", "ra", "re", "ri",
+    "ro", "sa", "se", "si", "so", "ta", "te", "ti", "to", "ur", "va", "ve",
+    "vi", "zo",
+]
+_BRANDS = ["acme", "orion", "zenix", "nova", "apex", "volt", "lumen", "aero"]
+_TYPES = ["widget", "sensor", "valve", "motor", "panel", "cable", "filter"]
+
+
+def _product_name(rng: random.Random) -> str:
+    brand = rng.choice(_BRANDS)
+    model = "".join(rng.choice(_SYLLABLES) for _ in range(rng.randint(2, 4)))
+    kind = rng.choice(_TYPES)
+    num = rng.randint(1, 9999)
+    return f"{brand} {model} {kind} {num}"
+
+
+def _mutate(rng: random.Random, s: str) -> str:
+    chars = list(s)
+    for _ in range(rng.randint(0, 2)):
+        i = rng.randrange(len(chars))
+        op = rng.random()
+        if op < 0.4:
+            chars[i] = rng.choice("abcdefghijklmnopqrstuvwxyz")
+        elif op < 0.7 and len(chars) > 4:
+            del chars[i]
+        else:
+            chars.insert(i, rng.choice("abcdefghijklmnopqrstuvwxyz"))
+    return "".join(chars)
+
+
+def main() -> None:
+    n_keys = int(os.environ.get("BENCH_KEYS", 1_000_000))
+    n_queries = int(os.environ.get("BENCH_QUERIES", 512))
+    threshold = float(os.environ.get("BENCH_THRESHOLD", 0.3))
+    limit = 100
+    rng = random.Random(0)
+
+    from stringsearchlib_tpu.config import IndexConfig
+    from stringsearchlib_tpu.index.build import build_index
+    from stringsearchlib_tpu.search.engine import SearchEngine
+
+    words = [_product_name(rng) for _ in range(n_keys)]
+    total_bytes = sum(len(w) for w in words)
+
+    t0 = time.perf_counter()
+    host = build_index(words, 1, None, IndexConfig())
+    build_s = time.perf_counter() - t0
+    engine = SearchEngine(host)
+
+    queries = [_mutate(rng, rng.choice(words)) for _ in range(n_queries)]
+    batch = int(os.environ.get("BENCH_BATCH", 256))
+
+    # warmup: compile the batch variant(s) this query set touches
+    engine.search_batch(queries, threshold, limit, batch_bucket=batch)
+
+    reps = max(1, int(os.environ.get("BENCH_REPS", 4)))
+    lat = []
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        t1 = time.perf_counter()
+        engine.search_batch(queries, threshold, limit, batch_bucket=batch)
+        lat.append((time.perf_counter() - t1) / n_queries)
+    wall = time.perf_counter() - t0
+
+    qps = reps * n_queries / wall
+    p50 = float(np.percentile(np.array(lat), 50) * 1e3)
+    build_mbps = total_bytes / 1e6 / build_s
+
+    print(
+        json.dumps(
+            {
+                "metric": f"queries_per_sec_per_chip_{n_keys // 1000}k_keys_top100",
+                "value": round(qps, 2),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / TARGET_QPS, 4),
+                "extra": {
+                    "p50_latency_ms": round(p50, 3),
+                    "index_build_mb_per_s": round(build_mbps, 2),
+                    "n_keys": n_keys,
+                    "threshold": threshold,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

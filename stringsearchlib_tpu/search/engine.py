@@ -95,9 +95,13 @@ def _term_scores(di, qtokens, qlen, qslots, n_qgrams, *, use_short, brute_long, 
     return s_a, mask_a, s_b, mask_b
 
 
-def _propagate(di, s_a, mask_a, s_b, mask_b, eq_key, threshold):
+def _propagate_raw(di, s_a, mask_a, s_b, mask_b, eq_key, threshold):
     """calcScore over the edge list: threshold gate, weight multiply,
-    segment-max into keys, exact-match promotion."""
+    segment-max into keys, exact-match promotion flags.
+
+    Returns (key_val (K,) f32 with -inf for unreached, promo (K,) int32).
+    Both combine across term-shards with a plain max, which is what the
+    distributed path does (pmax over the mesh axis) before flooring."""
     k = di.n_keys
     et, ek, ew = di.edge_term, di.edge_key, di.edge_weight
 
@@ -109,18 +113,28 @@ def _propagate(di, s_a, mask_a, s_b, mask_b, eq_key, threshold):
     val = jnp.maximum(va, vb)
 
     key_val = jax.ops.segment_max(val, ek, num_segments=k)
-    reached = key_val > _NEG_INF
-    # entryScore's operator[] default-inserts 0 before the max
-    # (nGramSearch.hpp:326), so key scores are floored at 0.
-    score = jnp.where(reached, jnp.maximum(key_val, 0.0), 0.0)
 
     cutoff = jnp.float32(PERFECT_SCORE_CUTOFF)
     promo_edge = ((pa & (ta > cutoff)) | (pb & (tb > cutoff))) & eq_key[ek]
-    promoted = (
-        jax.ops.segment_max(promo_edge.astype(jnp.int32), ek, num_segments=k) > 0
+    promo = jax.ops.segment_max(promo_edge.astype(jnp.int32), ek, num_segments=k)
+    return key_val, promo
+
+
+def _floor_and_promote(key_val, promo):
+    """Final key scores from merged raw maxima: entryScore's operator[]
+    default-inserts 0 before the max (nGramSearch.hpp:326), and promoted
+    keys rise to at least 100 (nGramSearch.hpp:328-336)."""
+    reached = key_val > _NEG_INF
+    score = jnp.where(reached, jnp.maximum(key_val, 0.0), 0.0)
+    score = jnp.where(
+        (promo > 0) & reached, jnp.maximum(score, PROMOTED_SCORE), score
     )
-    score = jnp.where(promoted & reached, jnp.maximum(score, PROMOTED_SCORE), score)
     return score, reached
+
+
+def _propagate(di, s_a, mask_a, s_b, mask_b, eq_key, threshold):
+    key_val, promo = _propagate_raw(di, s_a, mask_a, s_b, mask_b, eq_key, threshold)
+    return _floor_and_promote(key_val, promo)
 
 
 def _finalize(di, score, reached, top_k: int):
@@ -135,12 +149,11 @@ def _finalize(di, score, reached, top_k: int):
     return count, out_ids[:top_k], out_scores[:top_k]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("use_short", "brute_long", "s_cap", "top_k")
-)
-def _search_device(
+def search_device_impl(
     di, qtokens, qlen, qslots, n_qgrams, threshold, *, use_short, brute_long, s_cap, top_k
 ):
+    """Unjitted single-device search step (jit-traceable; statics closed
+    over by the caller).  Exposed for __graft_entry__ and the sharded path."""
     s_a, mask_a, s_b, mask_b = _term_scores(
         di, qtokens, qlen, qslots, n_qgrams,
         use_short=use_short, brute_long=brute_long, s_cap=s_cap,
@@ -148,6 +161,62 @@ def _search_device(
     eq_key = _key_eq_query(di, qtokens, qlen)
     score, reached = _propagate(di, s_a, mask_a, s_b, mask_b, eq_key, threshold)
     return _finalize(di, score, reached, top_k)
+
+
+_search_device = functools.partial(
+    jax.jit, static_argnames=("use_short", "brute_long", "s_cap", "top_k")
+)(search_device_impl)
+
+
+def search_batch_device_impl(
+    di, qtokens, qlens, qslots, n_qgrams, use_short, threshold,
+    *, compute_short, s_cap, top_k,
+):
+    """Batched search: one device dispatch scores B queries.
+
+    The reference has no batch path (one thread-forked _search per call,
+    nGramSearch.hpp:350); batching exists because a TPU dispatch is far more
+    expensive than a query.  Tier flags become per-query data: ``use_short``
+    is a (B,) mask (applied to the DP tier), while brute-force short queries
+    (qlen <= gram_size) take the single-query path host-side.
+
+    Queries run sequentially on device via lax.map, keeping memory at
+    O(terms + keys) instead of O(B x terms).
+    """
+
+    def one(args):
+        qtok, qlen, slots, nqg, us = args
+        ts, tl = di.n_short, di.n_long
+        qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
+        if compute_short:
+            m_short = dp_match(di.short_tokens, di.short_lengths, qtok, qlen)
+            s_short = m_short.astype(jnp.float32) / qlen_f
+        else:
+            s_short = jnp.zeros((ts,), jnp.float32)
+        s_a = jnp.concatenate([s_short, jnp.zeros((tl,), jnp.float32)])
+        mask_a = jnp.concatenate(
+            [jnp.broadcast_to(us, (ts,)), jnp.zeros((tl,), bool)]
+        )
+
+        hits = gather_hits(di.gram_ptr, di.gram_terms, slots, tl, s_cap)
+        s_b_long = hits.astype(jnp.float32) / jnp.maximum(
+            nqg.astype(jnp.float32), 1.0
+        )
+        s_b = jnp.concatenate([jnp.zeros((ts,), jnp.float32), s_b_long])
+        mask_b = jnp.concatenate(
+            [jnp.zeros((ts,), bool), (hits > 0) & (nqg > 0)]
+        )
+
+        eq_key = _key_eq_query(di, qtok, qlen)
+        score, reached = _propagate(di, s_a, mask_a, s_b, mask_b, eq_key, threshold)
+        return _finalize(di, score, reached, top_k)
+
+    return jax.lax.map(one, (qtokens, qlens, qslots, n_qgrams, use_short))
+
+
+_search_batch_device = functools.partial(
+    jax.jit, static_argnames=("compute_short", "s_cap", "top_k")
+)(search_batch_device_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("top_k",))
@@ -253,3 +322,94 @@ class SearchEngine:
             [self.host.key_strings[i] for i in ids_np],
             [float(s) for s in scores_np],
         )
+
+    # -- batched search ----------------------------------------------------
+
+    def search_batch(
+        self, queries, threshold: float = 0.0, limit: int = 100,
+        batch_bucket: int = 256, qp_bucket: int = 32,
+    ):
+        """Batched search: one device dispatch for the whole batch.
+
+        Returns a list of (strings, scores) aligned with ``queries``.
+        Wildcards, brute-force-short queries (qlen <= gram_size) and
+        queries longer than ``qp_bucket`` fall back to the single path.
+        """
+        if limit == 0:
+            limit = INT32_MAX
+        out: list = [None] * len(queries)
+        if not self.host.indexed:
+            return [([], [])] * len(queries)
+
+        items = []  # (position, qnorm, qlen)
+        for i, q in enumerate(queries):
+            raw = q if isinstance(q, str) else str(q)
+            if len(raw) == 0 or raw == "*":
+                out[i] = self.search(raw, threshold, limit)
+                continue
+            qnorm, qlen = self._normalize_query(raw)
+            if qlen == 0:
+                out[i] = ([], [])
+            elif qlen <= self.cfg.brute_force_cutoff or qlen > qp_bucket:
+                out[i] = self.search(raw, threshold, limit)
+            else:
+                items.append((i, qnorm, qlen))
+
+        if not items:
+            return out
+
+        g = self.cfg.gram_size
+        qp = qp_bucket
+        qmax = qp - g + 1
+        lens_tbl = self.host.host_posting_lens
+        top_k = self._top_k(limit)
+
+        for lo in range(0, len(items), batch_bucket):
+            chunk = items[lo : lo + batch_bucket]
+            b = _next_pow2(len(chunk), 16)
+            qtok = np.zeros((b, qp), dtype=np.int32)
+            qlens = np.zeros(b, dtype=np.int32)
+            slots = np.full((b, qmax), -1, dtype=np.int32)
+            nqg = np.zeros(b, dtype=np.int32)
+            use_short = np.zeros(b, dtype=bool)
+            s_total = 0
+            for r, (_, qnorm, qlen) in enumerate(chunk):
+                qtok[r, :qlen] = qnorm[:qlen]
+                qlens[r] = qlen
+                use_short[r] = qlen < self.cfg.short_search_cutoff
+                if qlen >= g:
+                    n = qlen - g + 1
+                    nqg[r] = n
+                    ids, valid = gramlib.gram_ids(
+                        qnorm[None, :max(qlen, g)], np.array([qlen]), g,
+                        self.cfg.wide, self.host.vocab,
+                    )
+                    row = self.host.lookup_gram_slots(ids[0][valid[0]])
+                    slots[r, :n] = row
+                    present = row[row >= 0]
+                    if present.size:
+                        s_total = max(s_total, int(lens_tbl[present].sum()))
+            s_cap = _next_pow2(max(s_total, 1), 1024)
+
+            counts, ids_b, scores_b = _search_batch_device(
+                self.host.device,
+                jnp.asarray(qtok),
+                jnp.asarray(qlens),
+                jnp.asarray(slots),
+                jnp.asarray(nqg),
+                jnp.asarray(use_short),
+                jnp.float32(threshold),
+                compute_short=bool(use_short.any()),
+                s_cap=s_cap,
+                top_k=top_k,
+            )
+            counts = np.asarray(counts)
+            ids_b = np.asarray(ids_b)
+            scores_b = np.asarray(scores_b)
+            for r, (pos, _, _) in enumerate(chunk):
+                n = min(int(counts[r]), limit, ids_b.shape[1])
+                out[pos] = (
+                    [self.host.key_strings[j] for j in ids_b[r, :n]],
+                    [float(s) for s in scores_b[r, :n]],
+                )
+        return out
