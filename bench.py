@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import json
 import os
+
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see package __init__
 import random
 import sys
 import time

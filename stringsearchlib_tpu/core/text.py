@@ -108,30 +108,44 @@ def encode_batch(strings: Sequence, wide: bool) -> tuple[np.ndarray, np.ndarray]
 
     Narrow strings accept ``bytes`` or latin-1-encodable ``str`` (the
     reference API is ``char**``); wide strings accept any ``str`` (UTF-32
-    codepoints, matching ``wchar_t**`` in Readme.md:91).
+    codepoints, matching ``wchar_t**`` in Readme.md:91).  ``None`` entries
+    encode as empty rows (null words are skipped by the builder,
+    nGramSearch.hpp:129,151).
+
+    Bulk path: one join + one frombuffer + one gather, no per-string numpy.
     """
     dtype = np.uint32 if wide else np.uint8
-    encoded: list[np.ndarray] = []
-    for s in strings:
-        if isinstance(s, bytes):
-            raw = s
-            if wide:
-                raw = s.decode("utf-8")
-        else:
-            raw = s
-        if wide:
-            arr = np.frombuffer(str(raw).encode("utf-32-le"), dtype=np.uint32)
-        else:
-            if isinstance(raw, str):
-                raw = raw.encode("latin-1")
-            arr = np.frombuffer(raw, dtype=np.uint8)
-        encoded.append(arr)
-    lengths = np.array([len(a) for a in encoded], dtype=np.int32)
-    width = max(1, int(lengths.max()) if len(encoded) else 1)
-    tokens = np.zeros((len(encoded), width), dtype=dtype)
-    for i, arr in enumerate(encoded):
-        tokens[i, : len(arr)] = arr
-    return tokens, lengths
+    if wide:
+        parts = [
+            ""
+            if s is None
+            else (s.decode("utf-8") if isinstance(s, bytes) else str(s))
+            for s in strings
+        ]
+        flat = np.frombuffer("".join(parts).encode("utf-32-le"), dtype=np.uint32)
+        lengths = np.fromiter((len(p) for p in parts), np.int32, len(parts))
+    else:
+        parts = [
+            b""
+            if s is None
+            else (s if isinstance(s, bytes) else str(s).encode("latin-1"))
+            for s in strings
+        ]
+        flat = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        lengths = np.fromiter((len(p) for p in parts), np.int32, len(parts))
+    n = len(parts)
+    width = max(1, int(lengths.max()) if n else 1)
+    if n == 0:
+        return np.zeros((0, width), dtype=dtype), lengths
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    cols = np.arange(width, dtype=np.int64)
+    gather = starts[:, None] + cols[None, :]
+    in_range = cols[None, :] < lengths[:, None]
+    if flat.size == 0:
+        return np.zeros((n, width), dtype=dtype), lengths
+    tokens = flat[np.minimum(gather, flat.size - 1)]
+    return np.where(in_range, tokens, dtype(0)), lengths
 
 
 def decode_row(tokens: np.ndarray, length: int, wide: bool) -> str:

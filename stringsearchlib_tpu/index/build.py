@@ -1,17 +1,23 @@
-"""Host-side index construction.
+"""Host-side index construction (fully vectorized).
 
 Oracle-faithful re-implementation of the reference's build path
 (StringIndex ctor nGramSearch.hpp:120-172, init nGramSearch.hpp:54-108,
 buildGrams nGramSearch.hpp:41-46) producing flat numpy/JAX arrays instead of
-hash maps:
+hash maps.  The whole build is numpy array passes - no per-row Python loop:
 
-  row parse -> (term, key, weight) edges -> string pool (first-encounter
-  order) -> long/short split at 2*gram_size -> CSR gram->term postings
-  (deduped per term, set semantics of nGramSearch.h:296).
+  bulk encode -> vectorized normalize (core.text) -> element role masks
+  (master/tail, null/empty/zero-weight skips) -> interleaved string dedup
+  (void-view unique) -> term/key id spaces -> (term, key, weight) edge dedup
+  (last weight wins) -> long/short split at 2*gram_size -> CSR gram->term
+  postings (set semantics of nGramSearch.h:296).
 
-The build is host-orchestrated: normalization runs as vectorized numpy LUT
-ops (core.text); gram shingling and CSR assembly are numpy sort/unique
-passes.  Gram ids (int64) stay host-side; the device only sees dense slots.
+Deterministic id rule shared with the oracle: a string's id is its first
+*recorded* occurrence in element order, counting each recorded element as
+(term, then key).  The reference's ids are unordered_set-arbitrary
+(nGramSearch.hpp:58-65), so only determinism and oracle agreement matter.
+
+Result strings decode lazily: only the top-k keys a query returns are ever
+converted back to Python strings.
 """
 
 from __future__ import annotations
@@ -28,14 +34,38 @@ from ..core import text as textlib
 from .arrays import DeviceIndex
 
 
+class KeyStrings:
+    """Lazy decoder over the raw (trimmed) master-key token matrix."""
+
+    def __init__(self, tokens: np.ndarray, lengths: np.ndarray, wide: bool):
+        self.tokens = tokens
+        self.lengths = lengths
+        self.wide = wide
+        self._cache: dict[int, str] = {}
+
+    def __len__(self) -> int:
+        return self.tokens.shape[0]
+
+    def __getitem__(self, i: int) -> str:
+        i = int(i)
+        s = self._cache.get(i)
+        if s is None:
+            s = textlib.decode_row(self.tokens[i], int(self.lengths[i]), self.wide)
+            self._cache[i] = s
+        return s
+
+    def tolist(self) -> list:
+        return [self[i] for i in range(len(self))]
+
+
 @dataclasses.dataclass
 class HostIndex:
-    """Host state for one index: strings for result return, gram id table
-    for query slot lookup, and the device pytree."""
+    """Host state for one index: lazy key strings for result return, gram id
+    table for query slot lookup, and the device pytree."""
 
     config: IndexConfig
     tables: textlib.TextTables
-    key_strings: list  # raw (trimmed) master keys, result strings
+    key_strings: KeyStrings
     gram_ids: np.ndarray  # (G,) int64 sorted distinct gram ids
     device: DeviceIndex
     n_terms: int  # getSize (wordMap.size, nGramSearch.hpp:488-491)
@@ -63,11 +93,11 @@ class HostIndex:
         normalization and the exact-match key comparison; the gram index is
         immutable (same as the reference, which never re-shingles)."""
         self.tables = textlib.TextTables(chars, wide=self.config.wide)
-        key_tokens, key_lengths = textlib.encode_batch(
-            self.key_strings, self.config.wide
-        )
         norm, norm_len = textlib.normalize_matrix(
-            key_tokens, key_lengths, self.tables, upper=False
+            self.key_strings.tokens,
+            self.key_strings.lengths,
+            self.tables,
+            upper=False,
         )
         self.device = self.device.replace(
             key_norm_tokens=jnp.asarray(_pad_width(norm, 1).astype(np.int32)),
@@ -84,6 +114,24 @@ def _pad_width(mat: np.ndarray, min_width: int, multiple: int = 8) -> np.ndarray
     return mat
 
 
+def _dedup_rows(rows: np.ndarray, lengths: np.ndarray):
+    """Dedup matrix rows (length-aware).  Returns (first_occurrence_rank ids
+    per row, unique-row indices ordered by first occurrence)."""
+    n = rows.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    keyed = np.concatenate(
+        [lengths.astype(rows.dtype).reshape(-1, 1), rows], axis=1
+    )
+    keyed = np.ascontiguousarray(keyed)
+    view = keyed.view([("", np.void, keyed.dtype.itemsize * keyed.shape[1])])
+    _, first_idx, inverse = np.unique(view, return_index=True, return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.size)
+    return rank[inverse.ravel()].astype(np.int64), first_idx[order]
+
+
 def build_index(
     words: Sequence,
     row_size: int,
@@ -97,158 +145,165 @@ def build_index(
     (nGramSearch.hpp:141-148)."""
     tables = textlib.TextTables(valid_chars, wide=config.wide)
     empty = words is None or len(words) < 2  # size<2 guard, nGramSearch.hpp:122
-    if empty:
-        words = []
-
+    words = [] if empty else list(words)
     size = len(words)
-    weights_arr = None
-    if weights is not None:
-        weights_arr = np.asarray(weights, dtype=np.float32)
-
-    # -- row parse: normalized term / raw key / weight triples -------------
-    present = [i for i, w in enumerate(words) if w is not None]
-    if present:
-        tokens, lengths = textlib.encode_batch([words[i] for i in present], config.wide)
-        norm_tokens, norm_lengths = textlib.normalize_matrix(tokens, lengths, tables)
-        trim_tokens, trim_lengths = textlib.trim_only_matrix(tokens, lengths, tables)
-        norm_str = {
-            i: textlib.decode_row(norm_tokens[k], int(norm_lengths[k]), config.wide)
-            for k, i in enumerate(present)
-        }
-        trim_str = {
-            i: textlib.decode_row(trim_tokens[k], int(trim_lengths[k]), config.wide)
-            for k, i in enumerate(present)
-        }
-    else:
-        norm_str, trim_str = {}, {}
-
-    # term string -> {key string: weight}; insertion ordered (oracle parity).
-    word_map: dict = {}
-
-    def _weight(j: int) -> float:
-        if weights_arr is None or j >= weights_arr.shape[0]:
-            return 1.0
-        return float(weights_arr[j])
-
-    for i in range(0, size, row_size):
-        if words[i] is None:
-            continue
-        str_key = trim_str[i]
-        if not str_key:
-            continue
-        w = _weight(i)
-        if w != 0.0:
-            word_map.setdefault(norm_str[i], {})[str_key] = w
-        for j in range(i + 1, min(i + row_size, size)):
-            if words[j] is None:
-                continue
-            term = norm_str[j]
-            if not term:
-                continue
-            w = _weight(j)
-            if w != 0.0:
-                word_map.setdefault(term, {})[str_key] = w
-
-    # -- string pool / id assignment (first-encounter order) ---------------
-    term_strings = list(word_map.keys())
-    key_ids: dict = {}
-    key_strings: list = []
-    for keys in word_map.values():
-        for k in keys:
-            if k not in key_ids:
-                key_ids[k] = len(key_strings)
-                key_strings.append(k)
-
-    # -- long/short split (len >= 2*gram_size -> long, nGramSearch.hpp:82) --
-    cutoff = config.long_cutoff
-    short_terms = [t for t in term_strings if len(t) < cutoff]
-    long_terms = [t for t in term_strings if len(t) >= cutoff]
-    term_local: dict = {}
-    for idx, t in enumerate(short_terms):
-        term_local[t] = idx
-    for idx, t in enumerate(long_terms):
-        term_local[t] = len(short_terms) + idx
-
-    # -- edges ---------------------------------------------------------------
-    edge_term, edge_key, edge_weight = [], [], []
-    for t, keys in word_map.items():
-        for k, w in keys.items():
-            edge_term.append(term_local[t])
-            edge_key.append(key_ids[k])
-            edge_weight.append(np.float32(w))
-
-    # -- token matrices -------------------------------------------------------
     wide = config.wide
-    if short_terms:
-        st, sl = textlib.encode_batch(short_terms, wide)
-    else:
-        st, sl = np.zeros((0, 1), np.uint32 if wide else np.uint8), np.zeros(0, np.int32)
-    st = _pad_width(st, config.short_pad)
+    tok_dtype = np.uint32 if wide else np.uint8
 
-    if long_terms:
-        lt, ll = textlib.encode_batch(long_terms, wide)
-    else:
-        lt, ll = np.zeros((0, 1), np.uint32 if wide else np.uint8), np.zeros(0, np.int32)
-    lt = _pad_width(lt, config.gram_size)
+    tokens, lengths = textlib.encode_batch(words, wide)
+    null_mask = np.fromiter((w is None for w in words), bool, size) if size else (
+        np.zeros(0, bool)
+    )
+    norm_t, norm_l = textlib.normalize_matrix(tokens, lengths, tables)
+    trim_t, trim_l = textlib.trim_only_matrix(tokens, lengths, tables)
 
-    # -- gram postings (deduped per term: posting-set semantics) -------------
+    if weights is None:
+        w = np.ones(size, dtype=np.float32)
+    else:
+        w = np.ones(size, dtype=np.float32)
+        given = np.asarray(list(weights), dtype=np.float32)[:size]
+        w[: given.shape[0]] = given
+
+    idx = np.arange(size)
+    row_start = (idx // max(row_size, 1)) * max(row_size, 1)
+    is_master = idx == row_start
+    # a row is skipped entirely when its master is null or trims empty
+    # (nGramSearch.hpp:129-135); zero weight skips only that element's pair.
+    master_ok = (~null_mask) & (trim_l > 0)
+    row_ok = master_ok[row_start]
+    recorded = (
+        row_ok
+        & (~null_mask)
+        & (w != 0.0)
+        & np.where(is_master, True, norm_l > 0)
+    )
+    rec = np.where(recorded)[0]
+
+    # -- interleaved string dedup: element e -> (term at 2e, key at 2e+1) ---
+    r = rec.shape[0]
+    t_rows, t_lens = norm_t[rec], norm_l[rec]
+    k_src = row_start[rec]
+    k_rows, k_lens = trim_t[k_src], trim_l[k_src]
+    width = max(t_rows.shape[1] if r else 1, k_rows.shape[1] if r else 1)
+
+    inter = np.zeros((2 * r, width), dtype=tok_dtype)
+    inter_len = np.zeros(2 * r, dtype=np.int32)
+    if r:
+        inter[0::2, : t_rows.shape[1]] = t_rows
+        inter[1::2, : k_rows.shape[1]] = k_rows
+        inter_len[0::2] = t_lens
+        inter_len[1::2] = k_lens
+    sid, uniq_first = _dedup_rows(inter, inter_len)
+    u = uniq_first.shape[0]
+    term_sid, key_sid = sid[0::2], sid[1::2]
+    ustr_tokens = inter[uniq_first] if u else np.zeros((0, width), tok_dtype)
+    ustr_lens = inter_len[uniq_first] if u else np.zeros(0, np.int32)
+
+    is_term = np.zeros(u, bool)
+    is_key = np.zeros(u, bool)
+    if r:
+        is_term[term_sid] = True
+        is_key[key_sid] = True
+
+    # -- term table: short tier first, then long, both in string-rank order --
+    cutoff = config.long_cutoff
+    term_ids = np.where(is_term)[0]
+    term_lens_u = ustr_lens[term_ids]
+    short_ids = term_ids[term_lens_u < cutoff]
+    long_ids = term_ids[term_lens_u >= cutoff]
+    n_short, n_long = short_ids.shape[0], long_ids.shape[0]
+    term_local = np.full(u, -1, np.int64)
+    term_local[short_ids] = np.arange(n_short)
+    term_local[long_ids] = n_short + np.arange(n_long)
+
+    key_ids = np.where(is_key)[0]
+    n_keys = key_ids.shape[0]
+    key_local = np.full(u, -1, np.int64)
+    key_local[key_ids] = np.arange(n_keys)
+
+    # -- edges: dedup (term, key), LAST weight wins (map overwrite,
+    #    nGramSearch.hpp:147,165) --------------------------------------------
+    if r:
+        et_g = term_local[term_sid]
+        ek_g = key_local[key_sid]
+        order = np.lexsort((np.arange(r), ek_g, et_g))
+        et_s, ek_s = et_g[order], ek_g[order]
+        last = np.ones(r, bool)
+        last[:-1] = (et_s[1:] != et_s[:-1]) | (ek_s[1:] != ek_s[:-1])
+        edge_term = et_s[last].astype(np.int32)
+        edge_key = ek_s[last].astype(np.int32)
+        edge_weight = w[rec][order][last].astype(np.float32)
+    else:
+        edge_term = np.zeros(0, np.int32)
+        edge_key = np.zeros(0, np.int32)
+        edge_weight = np.zeros(0, np.float32)
+
+    # -- token matrices --------------------------------------------------------
+    st = _pad_width(ustr_tokens[short_ids], config.short_pad)
+    sl = ustr_lens[short_ids]
+    lt = _pad_width(ustr_tokens[long_ids], config.gram_size)
+    ll = ustr_lens[long_ids]
+
+    # -- gram postings (deduped per term: posting-set semantics) ---------------
     vocab = None
     if wide and config.gram_size == 4:
         vocab = gramlib.WideVocab(lt[lt > 0] if lt.size else np.zeros(0, np.int64))
-    if long_terms:
+    if n_long:
         gids, gvalid = gramlib.gram_ids(lt, ll, config.gram_size, wide, vocab)
         flat_g = gids[gvalid]
         flat_t = np.broadcast_to(
             np.arange(gids.shape[0], dtype=np.int64)[:, None], gids.shape
         )[gvalid]
-        pairs = np.unique(np.stack([flat_g, flat_t], axis=1), axis=0)
-        distinct_grams, gram_start_counts = np.unique(pairs[:, 0], return_counts=True)
+        order = np.lexsort((flat_t, flat_g))
+        sg, stt = flat_g[order], flat_t[order]
+        keep = np.ones(sg.shape[0], bool)
+        keep[1:] = (sg[1:] != sg[:-1]) | (stt[1:] != stt[:-1])
+        sg, stt = sg[keep], stt[keep]
+        distinct_grams, counts = np.unique(sg, return_counts=True)
         gram_ptr = np.zeros(distinct_grams.shape[0] + 1, dtype=np.int32)
-        np.cumsum(gram_start_counts, out=gram_ptr[1:])
-        gram_terms = pairs[:, 1].astype(np.int32)
+        np.cumsum(counts, out=gram_ptr[1:])
+        gram_terms = stt.astype(np.int32)
     else:
         distinct_grams = np.zeros(0, dtype=np.int64)
         gram_ptr = np.zeros(1, dtype=np.int32)
         gram_terms = np.zeros(0, dtype=np.int32)
 
-    # -- keys -----------------------------------------------------------------
-    if key_strings:
-        kt, kl = textlib.encode_batch(key_strings, wide)
-        knorm, knorm_len = textlib.normalize_matrix(kt, kl, tables, upper=False)
+    # -- keys -------------------------------------------------------------------
+    key_tokens_raw = ustr_tokens[key_ids]
+    key_lens_raw = ustr_lens[key_ids]
+    if n_keys:
+        knorm, knorm_len = textlib.normalize_matrix(
+            key_tokens_raw, key_lens_raw, tables, upper=False
+        )
     else:
-        knorm = np.zeros((0, 1), np.uint32 if wide else np.uint8)
-        kl = np.zeros(0, np.int32)
+        knorm = np.zeros((0, 1), tok_dtype)
         knorm_len = np.zeros(0, np.int32)
     knorm = _pad_width(knorm, 1)
 
     device = DeviceIndex(
         short_tokens=jnp.asarray(st.astype(np.int32)),
-        short_lengths=jnp.asarray(sl),
+        short_lengths=jnp.asarray(sl.astype(np.int32)),
         long_tokens=jnp.asarray(lt.astype(np.int32)),
-        long_lengths=jnp.asarray(ll),
+        long_lengths=jnp.asarray(ll.astype(np.int32)),
         gram_ptr=jnp.asarray(gram_ptr),
         gram_terms=jnp.asarray(gram_terms),
-        edge_term=jnp.asarray(np.asarray(edge_term, dtype=np.int32)),
-        edge_key=jnp.asarray(np.asarray(edge_key, dtype=np.int32)),
-        edge_weight=jnp.asarray(np.asarray(edge_weight, dtype=np.float32)),
-        key_len=jnp.asarray(
-            np.asarray([len(k) for k in key_strings], dtype=np.int32)
-        ),
+        edge_term=jnp.asarray(edge_term),
+        edge_key=jnp.asarray(edge_key),
+        edge_weight=jnp.asarray(edge_weight),
+        key_len=jnp.asarray(key_lens_raw.astype(np.int32)),
         key_norm_tokens=jnp.asarray(knorm.astype(np.int32)),
-        key_norm_lengths=jnp.asarray(knorm_len),
+        key_norm_lengths=jnp.asarray(knorm_len.astype(np.int32)),
     )
 
-    posting_lens = np.diff(gram_ptr).astype(np.int64)
-    max_len = max((len(t) for t in term_strings), default=0)
     return HostIndex(
         config=config,
         tables=tables,
-        key_strings=key_strings,
+        key_strings=KeyStrings(key_tokens_raw, key_lens_raw, wide),
         gram_ids=distinct_grams,
         device=device,
-        n_terms=len(term_strings),
-        max_term_len=max_len,
+        n_terms=int(term_ids.shape[0]),
+        max_term_len=int(term_lens_u.max()) if term_ids.size else 0,
         vocab=vocab,
         indexed=not empty,
-        host_posting_lens=posting_lens,
+        host_posting_lens=np.diff(gram_ptr).astype(np.int64),
     )

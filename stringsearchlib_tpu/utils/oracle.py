@@ -124,6 +124,11 @@ class OracleIndex:
         temp_word_map: dict[str, dict[str, float]] = {}
 
         def add(term: str, key: str, w: float) -> None:
+            # Intern at first recorded occurrence, in element order: this is
+            # the deterministic id rule shared with the vectorized builder
+            # (the reference's unordered_set makes ids arbitrary).
+            self._intern(term)
+            self._intern(key)
             temp_word_map.setdefault(term, {})[key] = w
 
         for i in range(0, size, row_size):
@@ -146,11 +151,7 @@ class OracleIndex:
                 if w != 0.0:
                     add(str_query, str_key, float(w))
 
-        # init (nGramSearch.hpp:54-108): intern terms then their keys, in order.
-        for term, keys in temp_word_map.items():
-            self._intern(term)
-            for key in keys:
-                self._intern(key)
+        # init (nGramSearch.hpp:54-108); ids were interned during add().
         for s in self.string_lib:
             self.longest = max(self.longest, len(s))
         for term, keys in temp_word_map.items():

@@ -7,6 +7,7 @@ jits on the CPU backend, and multi-chip sharding is exercised on a virtual
 
 import os
 
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see package __init__
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
