@@ -34,10 +34,20 @@ class DeviceIndex:
     gram_ptr: jnp.ndarray  # (G + 1,) int32
     gram_terms: jnp.ndarray  # (P,) int32 long-tier local ids, sorted per slot
 
-    # -- term -> key edges (COO; term ids in global term space Ts + Tl) ------
+    # -- term -> key edges (COO sorted by (term, key); term ids in global
+    #    term space Ts + Tl).  term_edge_ptr is the CSR over edge_term and
+    #    term_wmax the per-term max |weight|-free upper-bound weight, both
+    #    used by the candidate-sparse search path. -------------------------
     edge_term: jnp.ndarray  # (E,) int32
     edge_key: jnp.ndarray  # (E,) int32 in [0, K)
     edge_weight: jnp.ndarray  # (E,) float32
+    term_edge_ptr: jnp.ndarray  # (T + 1,) int32
+    term_wmax: jnp.ndarray  # (T,) float32
+    # key-sorted duplicate of the edges (promotion scoring on the candidate
+    # path examines the <= PK promo keys' own edge slices)
+    key_edge_ptr: jnp.ndarray  # (K + 1,) int32
+    key_edge_term: jnp.ndarray  # (E,) int32
+    key_edge_weight: jnp.ndarray  # (E,) float32
 
     # -- keys ---------------------------------------------------------------
     key_len: jnp.ndarray  # (K,) int32: raw key string length (sort tiebreak)

@@ -31,6 +31,7 @@ import numpy as np
 from ..config import DEFAULT_VALID_CHARS, IndexConfig
 from ..core import grams as gramlib
 from ..core import text as textlib
+from . import native as nativelib
 from .arrays import DeviceIndex
 
 
@@ -73,10 +74,50 @@ class HostIndex:
     vocab: Optional[gramlib.WideVocab]
     indexed: bool
     host_posting_lens: np.ndarray  # (G,) int64, host copy for query caps
+    host_key_norm_tokens: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 1), np.uint8)
+    )
+    host_key_norm_lengths: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int32)
+    )
+    host_key_edge_counts: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int32)
+    )
+    _key_hash_cache: Optional[tuple] = None
 
     @property
     def n_grams(self) -> int:  # getLibSize (nGramSearch.hpp:496-499)
         return int(self.gram_ids.shape[0])
+
+    # -- exact-match promotion lookup (host side) -----------------------
+
+    def _key_hash_table(self):
+        """Sorted FNV-1a hashes of key_norm rows (escapeBlank+trim of raw
+        keys) for O(log K) promotion-candidate lookup per query."""
+        if self._key_hash_cache is None:
+            h = _fnv_rows(self.host_key_norm_tokens, self.host_key_norm_lengths)
+            order = np.argsort(h, kind="stable")
+            self._key_hash_cache = (h[order], order.astype(np.int32))
+        return self._key_hash_cache
+
+    def promo_key_ids(self, qtokens: np.ndarray, qlen: int) -> np.ndarray:
+        """Key ids whose normalized form equals the normalized query - the
+        only keys the 0.999 -> 100 promotion (nGramSearch.hpp:328-336) can
+        ever apply to.  Hash prefilter + exact row verify."""
+        kt, kl = self.host_key_norm_tokens, self.host_key_norm_lengths
+        if kt.shape[0] == 0 or qlen > kt.shape[1]:
+            return np.zeros(0, np.int32)
+        row = np.zeros((1, kt.shape[1]), dtype=kt.dtype)
+        row[0, :qlen] = qtokens[:qlen]
+        qh = _fnv_rows(row, np.array([qlen], np.int32))[0]
+        hs, order = self._key_hash_table()
+        lo = np.searchsorted(hs, qh, side="left")
+        hi = np.searchsorted(hs, qh, side="right")
+        cand = order[lo:hi]
+        if cand.size == 0:
+            return cand.astype(np.int32)
+        ok = (kl[cand] == qlen) & (kt[cand] == row[0]).all(axis=1)
+        return cand[ok].astype(np.int32)
 
     def lookup_gram_slots(self, ids: np.ndarray) -> np.ndarray:
         """int64 gram ids -> dense slots in [0, G), or -1 when absent."""
@@ -99,10 +140,57 @@ class HostIndex:
             self.tables,
             upper=False,
         )
+        norm = _pad_width(norm, 1)
+        self.host_key_norm_tokens = norm
+        self.host_key_norm_lengths = norm_len.astype(np.int32)
+        self._key_hash_cache = None
         self.device = self.device.replace(
-            key_norm_tokens=jnp.asarray(_pad_width(norm, 1).astype(np.int32)),
+            key_norm_tokens=jnp.asarray(norm.astype(np.int32)),
             key_norm_lengths=jnp.asarray(norm_len),
         )
+
+
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _fnv_rows(tokens: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over (length, row tokens); rows are 0-padded so the
+    full-width hash is injective up to hash collisions (verified exactly by
+    the caller)."""
+    with np.errstate(over="ignore"):
+        h = np.full(tokens.shape[0], _FNV_OFFSET, dtype=np.uint64)
+        h = (h ^ lengths.astype(np.uint64)) * _FNV_PRIME
+        for c in range(tokens.shape[1]):
+            h = (h ^ tokens[:, c].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+def _edge_csr(edge_term: np.ndarray, edge_weight: np.ndarray, n_terms: int):
+    """(term_edge_ptr, term_wmax) from term-sorted edges."""
+    counts = np.bincount(edge_term, minlength=n_terms).astype(np.int32)
+    ptr = np.zeros(n_terms + 1, dtype=np.int32)
+    np.cumsum(counts, out=ptr[1:])
+    wmax = np.zeros(n_terms, dtype=np.float32)
+    nz = counts > 0
+    if edge_weight.shape[0]:
+        wmax[nz] = np.maximum.reduceat(edge_weight, ptr[:-1][nz])
+    return ptr, wmax
+
+
+def _key_edge_csr(
+    edge_term: np.ndarray,
+    edge_key: np.ndarray,
+    edge_weight: np.ndarray,
+    n_keys: int,
+):
+    """Key-sorted edge duplicate: (key_edge_ptr, key_edge_term,
+    key_edge_weight, host key edge counts)."""
+    order = np.argsort(edge_key, kind="stable")
+    counts = np.bincount(edge_key, minlength=n_keys).astype(np.int32)
+    ptr = np.zeros(n_keys + 1, dtype=np.int32)
+    np.cumsum(counts, out=ptr[1:])
+    return ptr, edge_term[order], edge_weight[order], counts
 
 
 def _pad_width(mat: np.ndarray, min_width: int, multiple: int = 8) -> np.ndarray:
@@ -138,11 +226,105 @@ def build_index(
     weights: Optional[Sequence[float]] = None,
     config: IndexConfig = IndexConfig(),
     valid_chars: bytes = DEFAULT_VALID_CHARS,
+    use_native: Optional[bool] = None,
 ) -> HostIndex:
     """Build an index from the reference's flattened row model
     (indexN, dllmain.cpp:37-49): every row's first word is the master key,
     remaining row words map to it; zero weight drops the pair
-    (nGramSearch.hpp:141-148)."""
+    (nGramSearch.hpp:141-148).
+
+    ``use_native``: None = auto (C++ builder for narrow strings when it
+    compiles), True = require it, False = numpy path.
+    """
+    if use_native is None:
+        use_native = not config.wide
+    if use_native and not config.wide and words is not None and len(words) >= 2:
+        nat = nativelib.get_native()
+        if nat is not None:
+            return _build_from_native(
+                nat, list(words), row_size, weights, config, valid_chars
+            )
+    return _build_numpy(words, row_size, weights, config, valid_chars)
+
+
+def _build_from_native(nat, words, row_size, weights, config, valid_chars):
+    """HostIndex from the C++ builder's array dict (semantics identical to
+    the numpy path; see native/builder.cpp)."""
+    w_arg = None
+    if weights is not None:
+        w_arg = [float(x) for x in weights]
+    d = nat.build_narrow(
+        words, int(row_size), w_arg, int(config.gram_size), bytes(valid_chars)
+    )
+    tables = textlib.TextTables(valid_chars, wide=False)
+
+    # canonical edge order: sorted by (term, key) for the term->edge CSR
+    et, ek, ew = d["edge_term"], d["edge_key"], d["edge_weight"]
+    order = np.lexsort((ek, et))
+    et, ek, ew = et[order], ek[order], ew[order]
+    n_terms_total = d["short_lengths"].shape[0] + d["long_lengths"].shape[0]
+    te_ptr, t_wmax = _edge_csr(et, ew, n_terms_total)
+    ke_ptr, ke_term, ke_w, ke_counts = _key_edge_csr(
+        et, ek, ew, d["key_lengths"].shape[0]
+    )
+
+    st = _pad_width(d["short_tokens"], config.short_pad)
+    lt = _pad_width(d["long_tokens"], config.gram_size)
+    key_tokens, key_lens = d["key_tokens"], d["key_lengths"]
+    if key_tokens.shape[0]:
+        knorm, knorm_len = textlib.normalize_matrix(
+            key_tokens, key_lens, tables, upper=False
+        )
+    else:
+        knorm = np.zeros((0, 1), np.uint8)
+        knorm_len = np.zeros(0, np.int32)
+    knorm = _pad_width(knorm, 1)
+
+    device = DeviceIndex(
+        short_tokens=jnp.asarray(st.astype(np.int32)),
+        short_lengths=jnp.asarray(d["short_lengths"]),
+        long_tokens=jnp.asarray(lt.astype(np.int32)),
+        long_lengths=jnp.asarray(d["long_lengths"]),
+        gram_ptr=jnp.asarray(d["gram_ptr"]),
+        gram_terms=jnp.asarray(d["gram_terms"]),
+        edge_term=jnp.asarray(et),
+        edge_key=jnp.asarray(ek),
+        edge_weight=jnp.asarray(ew),
+        term_edge_ptr=jnp.asarray(te_ptr),
+        term_wmax=jnp.asarray(t_wmax),
+        key_edge_ptr=jnp.asarray(ke_ptr),
+        key_edge_term=jnp.asarray(ke_term),
+        key_edge_weight=jnp.asarray(ke_w),
+        key_len=jnp.asarray(key_lens.astype(np.int32)),
+        key_norm_tokens=jnp.asarray(knorm.astype(np.int32)),
+        key_norm_lengths=jnp.asarray(knorm_len.astype(np.int32)),
+    )
+    return HostIndex(
+        config=config,
+        tables=tables,
+        key_strings=KeyStrings(key_tokens, key_lens, False),
+        gram_ids=d["gram_ids"],
+        device=device,
+        n_terms=int(d["n_terms"]),
+        max_term_len=int(d["max_term_len"]),
+        vocab=None,
+        indexed=True,
+        host_posting_lens=np.diff(d["gram_ptr"]).astype(np.int64),
+        host_key_norm_tokens=knorm,
+        host_key_norm_lengths=np.asarray(knorm_len, np.int32),
+        host_key_edge_counts=ke_counts,
+    )
+
+
+def _build_numpy(
+    words: Sequence,
+    row_size: int,
+    weights: Optional[Sequence[float]] = None,
+    config: IndexConfig = IndexConfig(),
+    valid_chars: bytes = DEFAULT_VALID_CHARS,
+) -> HostIndex:
+    """Vectorized numpy build (reference implementation and wide-string
+    path; the native builder must match it exactly)."""
     tables = textlib.TextTables(valid_chars, wide=config.wide)
     empty = words is None or len(words) < 2  # size<2 guard, nGramSearch.hpp:122
     words = [] if empty else list(words)
@@ -280,6 +462,10 @@ def build_index(
         knorm_len = np.zeros(0, np.int32)
     knorm = _pad_width(knorm, 1)
 
+    te_ptr, t_wmax = _edge_csr(edge_term, edge_weight, n_short + n_long)
+    ke_ptr, ke_term, ke_w, ke_counts = _key_edge_csr(
+        edge_term, edge_key, edge_weight, n_keys
+    )
     device = DeviceIndex(
         short_tokens=jnp.asarray(st.astype(np.int32)),
         short_lengths=jnp.asarray(sl.astype(np.int32)),
@@ -290,6 +476,11 @@ def build_index(
         edge_term=jnp.asarray(edge_term),
         edge_key=jnp.asarray(edge_key),
         edge_weight=jnp.asarray(edge_weight),
+        term_edge_ptr=jnp.asarray(te_ptr),
+        term_wmax=jnp.asarray(t_wmax),
+        key_edge_ptr=jnp.asarray(ke_ptr),
+        key_edge_term=jnp.asarray(ke_term),
+        key_edge_weight=jnp.asarray(ke_w),
         key_len=jnp.asarray(key_lens_raw.astype(np.int32)),
         key_norm_tokens=jnp.asarray(knorm.astype(np.int32)),
         key_norm_lengths=jnp.asarray(knorm_len.astype(np.int32)),
@@ -306,4 +497,7 @@ def build_index(
         vocab=vocab,
         indexed=not empty,
         host_posting_lens=np.diff(gram_ptr).astype(np.int64),
+        host_key_norm_tokens=knorm,
+        host_key_norm_lengths=np.asarray(knorm_len, np.int32),
+        host_key_edge_counts=ke_counts,
     )

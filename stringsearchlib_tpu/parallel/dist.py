@@ -363,10 +363,10 @@ class ShardedEngine:
         count, ids, scores = self._jitted[static_key](
             self._leaves(),
             jnp.asarray(qtok),
-            jnp.int32(qlen),
+            np.int32(qlen),
             jnp.asarray(slots),
-            jnp.int32(n_qgrams),
-            jnp.float32(threshold),
+            np.int32(n_qgrams),
+            np.float32(threshold),
         )
         n = min(int(count), limit, int(ids.shape[0]))
         ids_np = np.asarray(ids[:n])

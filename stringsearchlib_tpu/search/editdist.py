@@ -25,8 +25,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.int32(1 << 30)
+_BIG = np.int32(1 << 30)
 
 
 def dp_match(

@@ -31,7 +31,7 @@ from ..index.build import HostIndex
 from .editdist import dp_match
 from .overlap import gather_hits
 
-_NEG_INF = jnp.float32(-jnp.inf)
+_NEG_INF = np.float32(-np.inf)
 
 
 def _next_pow2(n: int, lo: int) -> int:
@@ -114,7 +114,7 @@ def _propagate_raw(di, s_a, mask_a, s_b, mask_b, eq_key, threshold):
 
     key_val = jax.ops.segment_max(val, ek, num_segments=k)
 
-    cutoff = jnp.float32(PERFECT_SCORE_CUTOFF)
+    cutoff = np.float32(PERFECT_SCORE_CUTOFF)
     promo_edge = ((pa & (ta > cutoff)) | (pb & (tb > cutoff))) & eq_key[ek]
     promo = jax.ops.segment_max(promo_edge.astype(jnp.int32), ek, num_segments=k)
     return key_val, promo
@@ -140,7 +140,7 @@ def _propagate(di, s_a, mask_a, s_b, mask_b, eq_key, threshold):
 def _finalize(di, score, reached, top_k: int):
     """Stable (score desc, key len asc) sort; ties fall back to key id via
     stability.  Unreached keys sink to the end."""
-    neg = jnp.where(reached, -score, jnp.float32(jnp.inf))
+    neg = jnp.where(reached, -score, np.float32(np.inf))
     ids = jnp.arange(di.n_keys, dtype=jnp.int32)
     _, _, out_ids, out_scores = jax.lax.sort(
         (neg, di.key_len, ids, score), num_keys=2, is_stable=True
@@ -305,10 +305,10 @@ class SearchEngine:
             count, ids, scores = _search_device(
                 di,
                 jnp.asarray(qtok),
-                jnp.int32(qlen),
+                np.int32(qlen),
                 jnp.asarray(slots),
-                jnp.int32(n_qgrams),
-                jnp.float32(threshold),
+                np.int32(n_qgrams),
+                np.float32(threshold),
                 use_short=use_short,
                 brute_long=brute_long,
                 s_cap=s_cap,
@@ -325,15 +325,28 @@ class SearchEngine:
 
     # -- batched search ----------------------------------------------------
 
+    # candidate-path shape defaults (statics)
+    CAND_TERMS = 4096
+    CAND_EDGES = 16384
+    PROMO_KEYS = 8
+    PROMO_EDGES = 128
+    CAND_MIN_TERMS = 20000  # below this the dense batch is already cheap
+    CAND_MAX_LIMIT = 512
+
     def search_batch(
         self, queries, threshold: float = 0.0, limit: int = 100,
-        batch_bucket: int = 256, qp_bucket: int = 32,
+        batch_bucket: int = 256, qp_bucket: int = 32, mode: str = "auto",
     ):
         """Batched search: one device dispatch for the whole batch.
 
         Returns a list of (strings, scores) aligned with ``queries``.
         Wildcards, brute-force-short queries (qlen <= gram_size) and
         queries longer than ``qp_bucket`` fall back to the single path.
+
+        ``mode``: "auto" picks the candidate-sparse path for bounded limits
+        on large indexes (exact results; rows whose exactness guard fails
+        are transparently recomputed densely), "dense" forces the dense
+        batch, "candidates" forces the sparse path where eligible.
         """
         if limit == 0:
             limit = INT32_MAX
@@ -341,7 +354,15 @@ class SearchEngine:
         if not self.host.indexed:
             return [([], [])] * len(queries)
 
-        items = []  # (position, qnorm, qlen)
+        items = []  # (position, qnorm, qlen, promo_row or None)
+        want_cand = mode != "dense" and (
+            mode == "candidates"
+            or (
+                limit <= self.CAND_MAX_LIMIT
+                and self.host.n_terms >= self.CAND_MIN_TERMS
+            )
+        )
+        ke_counts = self.host.host_key_edge_counts
         for i, q in enumerate(queries):
             raw = q if isinstance(q, str) else str(q)
             if len(raw) == 0 or raw == "*":
@@ -353,44 +374,77 @@ class SearchEngine:
             elif qlen <= self.cfg.brute_force_cutoff or qlen > qp_bucket:
                 out[i] = self.search(raw, threshold, limit)
             else:
-                items.append((i, qnorm, qlen))
+                promo = None
+                if want_cand:
+                    pids = self.host.promo_key_ids(qnorm, qlen)
+                    if pids.size <= self.PROMO_KEYS and (
+                        pids.size == 0
+                        or int(ke_counts[pids].max()) <= self.PROMO_EDGES
+                    ):
+                        promo = pids
+                items.append((i, qnorm, qlen, promo))
 
         if not items:
             return out
 
+        cand_items = [it for it in items if want_cand and it[3] is not None]
+        dense_items = [it for it in items if not (want_cand and it[3] is not None)]
+
+        if cand_items:
+            retry = self._run_candidate_chunks(
+                cand_items, threshold, limit, batch_bucket, qp_bucket, out
+            )
+            dense_items.extend(retry)
+        if dense_items:
+            self._run_dense_chunks(
+                dense_items, threshold, limit, batch_bucket, qp_bucket, out
+            )
+        return out
+
+    def _prep_rows(self, chunk, qp):
+        """Shared device buffers for a chunk of (pos, qnorm, qlen, ...)."""
         g = self.cfg.gram_size
-        qp = qp_bucket
         qmax = qp - g + 1
         lens_tbl = self.host.host_posting_lens
-        top_k = self._top_k(limit)
+        b = _next_pow2(len(chunk), 16)
+        qtok = np.zeros((b, qp), dtype=np.int32)
+        qlens = np.zeros(b, dtype=np.int32)
+        slots = np.full((b, qmax), -1, dtype=np.int32)
+        nqg = np.zeros(b, dtype=np.int32)
+        use_short = np.zeros(b, dtype=bool)
+        s_total = 0
+        for r, item in enumerate(chunk):
+            _, qnorm, qlen = item[0], item[1], item[2]
+            qtok[r, :qlen] = qnorm[:qlen]
+            qlens[r] = qlen
+            use_short[r] = qlen < self.cfg.short_search_cutoff
+            if qlen >= g:
+                n = qlen - g + 1
+                nqg[r] = n
+                ids, valid = gramlib.gram_ids(
+                    qnorm[None, : max(qlen, g)], np.array([qlen]), g,
+                    self.cfg.wide, self.host.vocab,
+                )
+                row = self.host.lookup_gram_slots(ids[0][valid[0]])
+                slots[r, :n] = row
+                present = row[row >= 0]
+                if present.size:
+                    s_total = max(s_total, int(lens_tbl[present].sum()))
+        s_cap = _next_pow2(max(s_total, 1), 1024)
+        return b, qtok, qlens, slots, nqg, use_short, s_cap
 
+    def _emit_row(self, out, pos, count, ids_row, scores_row, limit):
+        n = min(int(count), limit, ids_row.shape[0])
+        out[pos] = (
+            [self.host.key_strings[j] for j in ids_row[:n]],
+            [float(s) for s in scores_row[:n]],
+        )
+
+    def _run_dense_chunks(self, items, threshold, limit, batch_bucket, qp, out):
+        top_k = self._top_k(limit)
         for lo in range(0, len(items), batch_bucket):
             chunk = items[lo : lo + batch_bucket]
-            b = _next_pow2(len(chunk), 16)
-            qtok = np.zeros((b, qp), dtype=np.int32)
-            qlens = np.zeros(b, dtype=np.int32)
-            slots = np.full((b, qmax), -1, dtype=np.int32)
-            nqg = np.zeros(b, dtype=np.int32)
-            use_short = np.zeros(b, dtype=bool)
-            s_total = 0
-            for r, (_, qnorm, qlen) in enumerate(chunk):
-                qtok[r, :qlen] = qnorm[:qlen]
-                qlens[r] = qlen
-                use_short[r] = qlen < self.cfg.short_search_cutoff
-                if qlen >= g:
-                    n = qlen - g + 1
-                    nqg[r] = n
-                    ids, valid = gramlib.gram_ids(
-                        qnorm[None, :max(qlen, g)], np.array([qlen]), g,
-                        self.cfg.wide, self.host.vocab,
-                    )
-                    row = self.host.lookup_gram_slots(ids[0][valid[0]])
-                    slots[r, :n] = row
-                    present = row[row >= 0]
-                    if present.size:
-                        s_total = max(s_total, int(lens_tbl[present].sum()))
-            s_cap = _next_pow2(max(s_total, 1), 1024)
-
+            b, qtok, qlens, slots, nqg, use_short, s_cap = self._prep_rows(chunk, qp)
             counts, ids_b, scores_b = _search_batch_device(
                 self.host.device,
                 jnp.asarray(qtok),
@@ -398,7 +452,7 @@ class SearchEngine:
                 jnp.asarray(slots),
                 jnp.asarray(nqg),
                 jnp.asarray(use_short),
-                jnp.float32(threshold),
+                np.float32(threshold),
                 compute_short=bool(use_short.any()),
                 s_cap=s_cap,
                 top_k=top_k,
@@ -406,10 +460,54 @@ class SearchEngine:
             counts = np.asarray(counts)
             ids_b = np.asarray(ids_b)
             scores_b = np.asarray(scores_b)
-            for r, (pos, _, _) in enumerate(chunk):
-                n = min(int(counts[r]), limit, ids_b.shape[1])
-                out[pos] = (
-                    [self.host.key_strings[j] for j in ids_b[r, :n]],
-                    [float(s) for s in scores_b[r, :n]],
-                )
-        return out
+            for r, item in enumerate(chunk):
+                self._emit_row(out, item[0], counts[r], ids_b[r], scores_b[r], limit)
+
+    def _run_candidate_chunks(self, items, threshold, limit, batch_bucket, qp, out):
+        """Candidate-sparse batches; returns rows needing a dense retry."""
+        from .candidates import candidates_device
+
+        di = self.host.device
+        n_terms = di.n_terms
+        n_edges = int(di.edge_key.shape[0])
+        n_cand = min(self.CAND_TERMS, max(_next_pow2(1, 16), n_terms))
+        n_edge = min(max(_next_pow2(limit * 8, 1024), self.CAND_EDGES),
+                     max(_next_pow2(n_edges, 16), 16))
+        top_k = min(_next_pow2(limit, 16), n_edge)
+        retry = []
+        for lo in range(0, len(items), batch_bucket):
+            chunk = items[lo : lo + batch_bucket]
+            b, qtok, qlens, slots, nqg, use_short, s_cap = self._prep_rows(chunk, qp)
+            promo = np.full((b, self.PROMO_KEYS), -1, dtype=np.int32)
+            for r, item in enumerate(chunk):
+                pids = item[3]
+                promo[r, : pids.size] = pids
+            counts, ids_b, scores_b, exact = candidates_device(
+                di,
+                jnp.asarray(qtok),
+                jnp.asarray(qlens),
+                jnp.asarray(slots),
+                jnp.asarray(nqg),
+                jnp.asarray(use_short),
+                jnp.asarray(promo),
+                np.full((b,), min(limit, 2**30), dtype=np.int32),
+                np.float32(threshold),
+                compute_short=bool(use_short.any()),
+                s_cap=s_cap,
+                n_cand=n_cand,
+                n_edge=n_edge,
+                promo_edges=self.PROMO_EDGES,
+                top_k=top_k,
+            )
+            counts = np.asarray(counts)
+            ids_b = np.asarray(ids_b)
+            scores_b = np.asarray(scores_b)
+            exact = np.asarray(exact)
+            for r, item in enumerate(chunk):
+                if exact[r]:
+                    self._emit_row(
+                        out, item[0], counts[r], ids_b[r], scores_b[r], limit
+                    )
+                else:
+                    retry.append(item)
+        return retry

@@ -18,6 +18,7 @@ module is the reference XLA implementation and the fallback.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def gather_hits(
@@ -35,7 +36,7 @@ def gather_hits(
     slots_c = jnp.maximum(slots, 0)
     lens = jnp.where(present, gram_ptr[slots_c + 1] - gram_ptr[slots_c], 0)
     ends = jnp.cumsum(lens)
-    total = ends[-1] if qmax else jnp.int32(0)
+    total = ends[-1] if qmax else np.int32(0)
 
     pos = jnp.arange(s_cap, dtype=jnp.int32)
     rank = jnp.searchsorted(ends, pos, side="right").astype(jnp.int32)
