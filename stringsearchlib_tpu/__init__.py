@@ -77,6 +77,22 @@ class StringSearchIndex:
             chars = chars.encode("latin-1")
         self.host.set_valid_char(bytes(chars))
 
+    def save(self, path) -> None:
+        """Persist the built index (arrays only; loads skip the build)."""
+        from .index.serialize import save_index
+
+        save_index(self.host, path)
+
+    @classmethod
+    def load(cls, path) -> "StringSearchIndex":
+        """Reconstruct an index saved with :meth:`save`."""
+        from .index.serialize import load_index
+
+        obj = cls.__new__(cls)
+        obj.host = load_index(path)
+        obj.engine = SearchEngine(obj.host)
+        return obj
+
 
 __all__ = [
     "StringSearchIndex",

@@ -205,3 +205,25 @@ def setValidChar(key: Key, characters, n: Optional[int] = None) -> None:
     if n is not None:
         characters = bytes(characters)[: int(n)]
     GLOBAL_REGISTRY.set_valid_char(key, bytes(characters))
+
+
+# -- persistence (no reference equivalent: SURVEY section 5 checkpoint) -------
+
+
+def saveIndex(key: Key, path) -> bool:
+    """Persist a built index's arrays; returns False for a missing handle."""
+    from ..index.serialize import save_index
+
+    entry = GLOBAL_REGISTRY.get(key)
+    if entry is None:
+        return False
+    save_index(entry.host, path)
+    return True
+
+
+def loadIndex(path, guid: Optional[str] = None) -> Key:
+    """Load a saved index; returns the new handle, or ``guid`` when given."""
+    from ..index.serialize import load_index
+
+    handle = GLOBAL_REGISTRY.register(load_index(path), guid)
+    return guid if guid is not None else handle
