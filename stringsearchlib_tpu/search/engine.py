@@ -18,6 +18,7 @@ shape bucketing; everything else runs on device.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Optional, Sequence
 
 import jax
@@ -242,6 +243,8 @@ class SearchEngine:
     def __init__(self, host: HostIndex):
         self.host = host
         self.cfg = host.config
+        # optional observability (utils.metrics.QueryMetrics); None = off
+        self.metrics = None
 
     # -- query prep -----------------------------------------------------
 
@@ -283,6 +286,15 @@ class SearchEngine:
     def search(self, query, threshold: float = 0.0, limit: int = 0):
         """Returns (result key strings, scores); limit 0 = unbounded
         (nGramSearch.hpp:454-455)."""
+        if self.metrics is not None:
+            t0 = time.perf_counter()
+            try:
+                return self._search_impl(query, threshold, limit)
+            finally:
+                self.metrics.record(time.perf_counter() - t0)
+        return self._search_impl(query, threshold, limit)
+
+    def _search_impl(self, query, threshold: float = 0.0, limit: int = 0):
         if not self.host.indexed:
             return [], []
         if limit == 0:
@@ -348,6 +360,21 @@ class SearchEngine:
         are transparently recomputed densely), "dense" forces the dense
         batch, "candidates" forces the sparse path where eligible.
         """
+        if self.metrics is not None:
+            t0 = time.perf_counter()
+            try:
+                return self._search_batch_impl(
+                    queries, threshold, limit, batch_bucket, qp_bucket, mode
+                )
+            finally:
+                self.metrics.record(time.perf_counter() - t0, len(queries))
+        return self._search_batch_impl(
+            queries, threshold, limit, batch_bucket, qp_bucket, mode
+        )
+
+    def _search_batch_impl(
+        self, queries, threshold, limit, batch_bucket, qp_bucket, mode
+    ):
         if limit == 0:
             limit = INT32_MAX
         out: list = [None] * len(queries)
@@ -366,13 +393,13 @@ class SearchEngine:
         for i, q in enumerate(queries):
             raw = q if isinstance(q, str) else str(q)
             if len(raw) == 0 or raw == "*":
-                out[i] = self.search(raw, threshold, limit)
+                out[i] = self._search_impl(raw, threshold, limit)
                 continue
             qnorm, qlen = self._normalize_query(raw)
             if qlen == 0:
                 out[i] = ([], [])
             elif qlen <= self.cfg.brute_force_cutoff or qlen > qp_bucket:
-                out[i] = self.search(raw, threshold, limit)
+                out[i] = self._search_impl(raw, threshold, limit)
             else:
                 promo = None
                 if want_cand:
