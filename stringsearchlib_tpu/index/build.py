@@ -84,6 +84,7 @@ class HostIndex:
         default_factory=lambda: np.zeros(0, np.int32)
     )
     _key_hash_cache: Optional[tuple] = None
+    _gram_matrix_cache: object = dataclasses.field(default=None, repr=False)
 
     @property
     def n_grams(self) -> int:  # getLibSize (nGramSearch.hpp:496-499)
@@ -118,6 +119,34 @@ class HostIndex:
             return cand.astype(np.int32)
         ok = (kl[cand] == qlen) & (kt[cand] == row[0]).all(axis=1)
         return cand[ok].astype(np.int32)
+
+    def gram_matrix(self, budget_bytes: int = 1536 << 20):
+        """Dense 0/1 gram->long-term incidence matrix as device bf16, or
+        None when G * Tl would exceed ``budget_bytes``.
+
+        The MXU hits path (search.candidates.candidates_matmul) computes
+        every query's hit counts as one q_cnt @ M matmul - the idiomatic
+        TPU mapping of the reference's posting-accumulation loop
+        (nGramSearch.hpp:289-298) for gram-dense corpora whose posting
+        lists are long.  Built lazily, cached per index."""
+        if self._gram_matrix_cache is not None:
+            gm = self._gram_matrix_cache
+            return None if gm is False else gm
+        g = self.n_grams
+        tl = int(self.device.long_lengths.shape[0])
+        if g == 0 or tl == 0 or 2 * g * tl > budget_bytes:
+            self._gram_matrix_cache = False
+            return None
+        terms = np.asarray(self.device.gram_terms)
+        rows = np.repeat(
+            np.arange(g, dtype=np.int64), self.host_posting_lens
+        )
+        m = np.zeros((g, tl), dtype=np.uint8)
+        m[rows, terms] = 1
+        # ship u8 (half the bytes), widen to bf16 on device
+        gm = jnp.asarray(m).astype(jnp.bfloat16)
+        self._gram_matrix_cache = gm
+        return gm
 
     def lookup_gram_slots(self, ids: np.ndarray) -> np.ndarray:
         """int64 gram ids -> dense slots in [0, G), or -1 when absent."""

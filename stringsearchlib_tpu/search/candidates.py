@@ -1,30 +1,35 @@
 """Candidate-sparse batched search.
 
 The dense engine does O(T + E + K log K) work per query - fatal at millions
-of keys (full key sort per query).  This path exploits the threshold: only
-terms whose tier score passes it can contribute (calcScore drops the rest,
-nGramSearch.hpp:315-316), and per query those are few.  Pipeline per query:
+of keys (full key sort per query).  This module computes exact top-limit
+results in candidate space instead.  Two interchangeable front halves
+produce per-term long-tier scores; a shared back half (selection -> edge
+expansion -> promotion -> ranking -> exactness guard) finishes the query:
 
-  1. tier scores (gram-overlap hits + short-tier DP) - O(T) streaming;
-  2. select top-C passing terms by u(t) = wmax(t) * s(t), the EXACT maximum
-     contribution of t to any key (lax.top_k);
-  3. expand the selected terms' edges through the term->edge CSR (cap CE);
-  4. aggregate per key by a (key, -value) two-key sort over the CE lanes -
-     a segment-max without scatters, entirely in candidate space;
-  5. exact-match promotion handled separately: the host looks up the <= PK
-     keys whose normalized text equals the query (hash table); the device
-     scores those keys exactly from their own key->edge CSR slices;
-  6. rank candidates + promo entries by (score desc, key len asc, key id
-     asc) and emit the top-k slice, the reached count and an EXACTNESS flag.
+* ``candidates_matmul`` - MXU front end for gram-DENSE corpora (few
+  distinct grams, long posting lists).  Hit counts for the whole batch are
+  one bf16 matmul: q_cnt (B, G) @ M (G, Tl), where M is the 0/1 gram->term
+  incidence matrix.  Counts are small integers, so bf16 products with f32
+  accumulation are EXACT.  This is the reference's hottest loop
+  (searchLong, nGramSearch.hpp:289-298) mapped onto the systolic array.
+
+* ``candidates_runs`` - sorted-postings front end for gram-SPARSE corpora
+  (posting lists short; a dense M would waste HBM).  The query's posting
+  ranges are CSR-expanded into (s_cap,) lanes and sorted; run lengths ARE
+  the hit counts.  O(P_q log P_q) where P_q = total postings touched - the
+  information-theoretic minimum for exhaustive counting - with no scatters
+  (20-40x slower than sorts on v5e) and no O(T) dense vectors.
+
+The engine picks per index: matmul when G * Tl fits the HBM budget, runs
+otherwise (SearchEngine._run_candidate_chunks).
 
 Exactness guarantee (host falls back to the dense path when it fails):
-  * if n_pass <= C and no edge overflow, every passing term was examined ->
+  * if n_pass <= C and no edge overflow, every passing term was expanded ->
     scores, order and count are all exact;
-  * else let u_C = the C-th selected bound.  Unselected terms contribute at
-    most u_C to any key; if the limit-th ranked score strictly exceeds u_C
-    and at least `limit` keys were reached, the returned top-limit list is
-    exact (any candidate key with score >= limit-th > u_C has its true
-    maximum inside the selected set) and count = limit.
+  * else let u_C = the C-th selection bound.  Unexpanded terms contribute
+    at most u_C to any key; if the limit-th ranked score strictly exceeds
+    u_C and at least `limit` keys were reached, the returned top-limit list
+    is exact and count = limit.
 
 Keys in positions past `limit` may be mis-scored; the host never returns
 them.
@@ -40,12 +45,228 @@ import numpy as np
 
 from ..config import PERFECT_SCORE_CUTOFF, PROMOTED_SCORE
 from .editdist import dp_match
-from .overlap import gather_hits
 
 _NEG_INF = np.float32(-np.inf)
 
 
-def candidates_device_impl(
+# ---------------------------------------------------------------------------
+# shared back half: selection -> edges -> promotion -> ranking -> exactness
+# ---------------------------------------------------------------------------
+
+
+def _finish_candidates(
+    di, u_all, s_all, gid_all, n_pass, term_score, promo, limit, threshold,
+    *, n_cand, n_edge, promo_edges, top_k,
+):
+    """From per-lane upper bounds/scores to the final ranked slice.
+
+    ``u_all``/``s_all``/``gid_all``: parallel lane vectors (passing lanes
+    carry u = wmax * s, others -inf).  ``term_score(p_t) -> (p_s, p_pass)``
+    evaluates arbitrary global term ids for the promotion keys' edges.
+    """
+    ts, tl = di.n_short, di.n_long
+    t_total = ts + tl
+    k_total = di.key_len.shape[0]
+    e_total = max(di.edge_key.shape[0], 1)
+    cutoff = np.float32(PERFECT_SCORE_CUTOFF)
+
+    # -- top-C candidate selection over lanes -----------------------------
+    ub, sel = jax.lax.top_k(u_all, n_cand)
+    sel_valid = ub > _NEG_INF
+    u_c = jnp.where(n_pass > n_cand, ub[-1], _NEG_INF)
+    sel_c = jnp.clip(sel, 0, gid_all.shape[0] - 1)
+    t_sel = gid_all[sel_c]
+    s_sel = s_all[sel_c]
+
+    # -- edge expansion (term->edge CSR) ----------------------------------
+    tep = di.term_edge_ptr
+    tg = jnp.clip(t_sel, 0, t_total - 1)
+    elens = jnp.where(sel_valid, tep[tg + 1] - tep[tg], 0)
+    ends_e = jnp.cumsum(elens)
+    tot_e = ends_e[-1]
+    overflow = tot_e > n_edge
+    pos_e = jnp.arange(n_edge, dtype=jnp.int32)
+    rank_e = jnp.clip(
+        jnp.searchsorted(ends_e, pos_e, side="right"), 0, n_cand - 1
+    ).astype(jnp.int32)
+    starts_e = ends_e - elens
+    e_idx = tep[tg[rank_e]] + (pos_e - starts_e[rank_e])
+    evalid = pos_e < jnp.minimum(tot_e, n_edge)
+    e_idx_c = jnp.clip(e_idx, 0, e_total - 1)
+    k_e = di.edge_key[e_idx_c]
+    w_e = di.edge_weight[e_idx_c]
+    s_e = s_sel[rank_e]
+    # promo keys are scored exactly below; exclude them here
+    is_promo = (k_e[:, None] == promo[None, :]).any(axis=1)
+    evalid = evalid & ~is_promo
+    val_e = jnp.where(evalid, w_e * s_e, _NEG_INF)
+
+    # per-key max via (key, -value) sort
+    k_sorted, _, v_sorted = jax.lax.sort(
+        (jnp.where(evalid, k_e, k_total), -val_e, val_e), num_keys=2
+    )
+    kfirst = jnp.concatenate(
+        [jnp.ones((1,), bool), k_sorted[1:] != k_sorted[:-1]]
+    )
+    cand_valid = kfirst & (k_sorted < k_total)
+    cand_score = jnp.maximum(v_sorted, 0.0)  # entryScore 0 floor
+    reached_cand = jnp.sum(cand_valid.astype(jnp.int32))
+
+    # -- promotion keys: exact scoring from their edge slices -------------
+    kep = di.key_edge_ptr
+    p_c = jnp.clip(promo, 0, k_total - 1)
+    p_valid = promo >= 0
+    pe_pos = jnp.arange(promo_edges, dtype=jnp.int32)
+    p_base = kep[p_c][:, None] + pe_pos[None, :]
+    p_in = (
+        pe_pos[None, :] < (kep[p_c + 1] - kep[p_c])[:, None]
+    ) & p_valid[:, None]
+    p_bc = jnp.clip(p_base, 0, e_total - 1)
+    p_t = di.key_edge_term[p_bc]  # (PK, PE) global term ids
+    p_w = di.key_edge_weight[p_bc]
+    p_s, p_pass_t = term_score(p_t)
+    p_pass = p_in & p_pass_t
+    p_val = jnp.max(jnp.where(p_pass, p_w * p_s, _NEG_INF), axis=1)
+    p_reached = p_pass.any(axis=1)
+    p_promoted = (p_pass & (p_s > cutoff)).any(axis=1)
+    p_score = jnp.where(p_reached, jnp.maximum(p_val, 0.0), 0.0)
+    p_score = jnp.where(
+        p_promoted & p_reached, jnp.maximum(p_score, PROMOTED_SCORE), p_score
+    )
+    reached_total = reached_cand + jnp.sum(p_reached.astype(jnp.int32))
+
+    # -- final ranking -----------------------------------------------------
+    f_key = jnp.concatenate([k_sorted, p_c])
+    f_score = jnp.concatenate([cand_score, p_score])
+    f_valid = jnp.concatenate([cand_valid, p_reached])
+    f_len = di.key_len[jnp.clip(f_key, 0, k_total - 1)]
+    neg = jnp.where(f_valid, -f_score, np.float32(np.inf))
+    _, _, out_key, out_score = jax.lax.sort(
+        (neg, jnp.where(f_valid, f_len, np.int32(2**30)), f_key, f_score),
+        num_keys=3,
+    )
+
+    # -- exactness ---------------------------------------------------------
+    lim_idx = jnp.clip(limit - 1, 0, n_edge + promo_edges - 1)
+    sigma_l = -jax.lax.sort(neg)[lim_idx]  # limit-th best valid score
+    exact = (~overflow) & (
+        (n_pass <= n_cand) | ((reached_total >= limit) & (sigma_l > u_c))
+    )
+    count = jnp.where(
+        n_pass <= n_cand, reached_total, jnp.minimum(reached_total, limit)
+    )
+    return count, out_key[:top_k], out_score[:top_k], exact
+
+
+def _short_tier(di, qtok, qlen, us, threshold, qlen_f):
+    """Dense DP scores over the (small) short tier for one query."""
+    m_short = dp_match(di.short_tokens, di.short_lengths, qtok, qlen)
+    s_short = m_short.astype(jnp.float32) / qlen_f
+    pass_short = us & (s_short >= threshold)
+    u_short = jnp.where(
+        pass_short, di.term_wmax[: di.n_short] * s_short, _NEG_INF
+    )
+    return s_short, pass_short, u_short
+
+
+# ---------------------------------------------------------------------------
+# front end A: MXU matmul hits (gram-dense corpora)
+# ---------------------------------------------------------------------------
+
+
+def candidates_matmul_impl(
+    di,
+    gram_matrix,  # (G, Tl) bf16 0/1 incidence
+    qtokens,  # (B, Qp) int32
+    qlens,  # (B,) int32
+    qcnt,  # (B, G) f32 query gram multiplicities (cast to bf16 on device)
+    n_qgrams,  # (B,) int32
+    use_short,  # (B,) bool
+    promo_ids,  # (B, PK) int32, -1 padded
+    limits,  # (B,) int32
+    threshold,  # () f32
+    *,
+    compute_short: bool,
+    n_cand: int,
+    n_edge: int,
+    promo_edges: int,
+    top_k: int,
+):
+    ts, tl = di.n_short, di.n_long
+    compute_short = compute_short and ts > 0
+    # one MXU pass for the whole batch; integer-exact in bf16 x bf16 -> f32
+    hits = jnp.dot(
+        qcnt.astype(jnp.bfloat16), gram_matrix,
+        preferred_element_type=jnp.float32,
+    )
+
+    def one(args):
+        qtok, qlen, hrow, nqg, us, promo, limit = args
+        qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
+        nqg_f = jnp.maximum(nqg.astype(jnp.float32), 1.0)
+
+        s_long = hrow / nqg_f
+        pass_long = (hrow > 0) & (nqg > 0) & (s_long >= threshold)
+        n_pass = jnp.sum(pass_long.astype(jnp.int32))
+        u_long = jnp.where(
+            pass_long, di.term_wmax[ts:] * s_long, _NEG_INF
+        )
+        gid_long = ts + jnp.arange(tl, dtype=jnp.int32)
+
+        if compute_short:
+            s_short, pass_short, u_short = _short_tier(
+                di, qtok, qlen, us, threshold, qlen_f
+            )
+            n_pass = n_pass + jnp.sum(pass_short.astype(jnp.int32))
+            u_all = jnp.concatenate([u_short, u_long])
+            s_all = jnp.concatenate([s_short, s_long])
+            gid_all = jnp.concatenate(
+                [jnp.arange(ts, dtype=jnp.int32), gid_long]
+            )
+
+            def term_score(p_t):
+                p_sh = p_t < ts
+                p_ss = s_short[jnp.clip(p_t, 0, max(ts - 1, 0))]
+                p_sl = s_long[jnp.clip(p_t - ts, 0, max(tl - 1, 0))]
+                p_s = jnp.where(p_sh, p_ss, p_sl)
+                p_pass = jnp.where(
+                    p_sh,
+                    pass_short[jnp.clip(p_t, 0, max(ts - 1, 0))],
+                    pass_long[jnp.clip(p_t - ts, 0, max(tl - 1, 0))],
+                )
+                return p_s, p_pass
+        else:
+            u_all, s_all, gid_all = u_long, s_long, gid_long
+
+            def term_score(p_t):
+                idx = jnp.clip(p_t - ts, 0, max(tl - 1, 0))
+                return s_long[idx], (p_t >= ts) & pass_long[idx]
+
+        return _finish_candidates(
+            di, u_all, s_all, gid_all, n_pass, term_score, promo, limit,
+            threshold, n_cand=n_cand, n_edge=n_edge,
+            promo_edges=promo_edges, top_k=top_k,
+        )
+
+    return jax.vmap(one)(
+        (qtokens, qlens, hits, n_qgrams, use_short, promo_ids, limits)
+    )
+
+
+candidates_matmul = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "compute_short", "n_cand", "n_edge", "promo_edges", "top_k",
+    ),
+)(candidates_matmul_impl)
+
+
+# ---------------------------------------------------------------------------
+# front end B: sorted postings runs (gram-sparse corpora)
+# ---------------------------------------------------------------------------
+
+
+def candidates_runs_impl(
     di,
     qtokens,  # (B, Qp) int32
     qlens,  # (B,) int32
@@ -64,128 +285,122 @@ def candidates_device_impl(
     top_k: int,
 ):
     ts, tl = di.n_short, di.n_long
+    compute_short = compute_short and ts > 0
     t_total = ts + tl
-    k_total = di.key_len.shape[0]
-    e_total = max(di.edge_key.shape[0], 1)
-    cutoff = np.float32(PERFECT_SCORE_CUTOFF)
+    p_total = max(di.gram_terms.shape[0], 1)
 
     def one(args):
         qtok, qlen, slots, nqg, us, promo, limit = args
+        qmax = slots.shape[0]
         qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
+        nqg_f = jnp.maximum(nqg.astype(jnp.float32), 1.0)
 
-        # -- tier scores ------------------------------------------------
-        if compute_short:
-            m_short = dp_match(di.short_tokens, di.short_lengths, qtok, qlen)
-            s_short = m_short.astype(jnp.float32) / qlen_f
-        else:
-            s_short = jnp.zeros((ts,), jnp.float32)
-        pass_short = us & (s_short >= threshold)
-
-        hits = gather_hits(di.gram_ptr, di.gram_terms, slots, tl, s_cap)
-        s_long = hits.astype(jnp.float32) / jnp.maximum(
-            nqg.astype(jnp.float32), 1.0
+        # -- postings expansion -> sorted run lanes ------------------------
+        present = slots >= 0
+        slots_c = jnp.maximum(slots, 0)
+        plens = jnp.where(
+            present, di.gram_ptr[slots_c + 1] - di.gram_ptr[slots_c], 0
         )
-        pass_long = (hits > 0) & (nqg > 0) & (s_long >= threshold)
-
-        s_eff = jnp.concatenate([s_short, s_long])
-        pass_any = jnp.concatenate([pass_short, pass_long])
-        n_pass = jnp.sum(pass_any.astype(jnp.int32))
-
-        # -- candidate terms ---------------------------------------------
-        u = di.term_wmax * s_eff
-        u_m = jnp.where(pass_any, u, _NEG_INF)
-        ub, t_sel = jax.lax.top_k(u_m, n_cand)
-        sel_valid = ub > _NEG_INF
-        u_c = jnp.where(n_pass > n_cand, ub[-1], _NEG_INF)
-
-        # -- edge expansion (term->edge CSR) ------------------------------
-        tep = di.term_edge_ptr
-        t_sel_c = jnp.clip(t_sel, 0, t_total - 1)
-        elens = jnp.where(sel_valid, tep[t_sel_c + 1] - tep[t_sel_c], 0)
-        ends = jnp.cumsum(elens)
-        tot = ends[-1]
-        overflow = tot > n_edge
-        pos = jnp.arange(n_edge, dtype=jnp.int32)
+        ends = jnp.cumsum(plens)
+        total = ends[-1]
+        pos = jnp.arange(s_cap, dtype=jnp.int32)
         rank = jnp.clip(
-            jnp.searchsorted(ends, pos, side="right"), 0, n_cand - 1
+            jnp.searchsorted(ends, pos, side="right"), 0, qmax - 1
         ).astype(jnp.int32)
-        starts = ends - elens
-        e_idx = tep[t_sel_c[rank]] + (pos - starts[rank])
-        evalid = pos < jnp.minimum(tot, n_edge)
-        e_idx_c = jnp.clip(e_idx, 0, e_total - 1)
-        k_e = di.edge_key[e_idx_c]
-        w_e = di.edge_weight[e_idx_c]
-        s_e = s_eff[t_sel_c[rank]]
-        # promo keys are scored exactly below; exclude them here
-        is_promo = (k_e[:, None] == promo[None, :]).any(axis=1)
-        evalid = evalid & ~is_promo
-        val_e = jnp.where(evalid, w_e * s_e, _NEG_INF)
-
-        # -- per-key max via (key, -value) sort ----------------------------
-        k_sorted, _, v_sorted = jax.lax.sort(
-            (jnp.where(evalid, k_e, k_total), -val_e, val_e), num_keys=2
+        starts = ends - plens
+        src = di.gram_ptr[slots_c[rank]] + (pos - starts[rank])
+        pvalid = pos < total
+        tid = jnp.where(
+            pvalid, di.gram_terms[jnp.clip(src, 0, p_total - 1)], tl
         )
+        tid_sorted = jax.lax.sort(tid)  # sentinels (tl) sink to the end
+        lane_valid = tid_sorted < tl
+
+        # -- run starts / lengths (hit counts) -----------------------------
         first = jnp.concatenate(
-            [jnp.ones((1,), bool), k_sorted[1:] != k_sorted[:-1]]
+            [
+                lane_valid[:1],
+                lane_valid[1:] & (tid_sorted[1:] != tid_sorted[:-1]),
+            ]
         )
-        cand_valid = first & (k_sorted < k_total)
-        cand_score = jnp.maximum(v_sorted, 0.0)  # entryScore 0 floor
-        reached_cand = jnp.sum(cand_valid.astype(jnp.int32))
-
-        # -- promotion keys: exact scoring from their own edge slices ------
-        kep = di.key_edge_ptr
-        p_c = jnp.clip(promo, 0, k_total - 1)
-        p_valid = promo >= 0
-        pe_pos = jnp.arange(promo_edges, dtype=jnp.int32)
-        p_base = kep[p_c][:, None] + pe_pos[None, :]
-        p_in = (pe_pos[None, :] < (kep[p_c + 1] - kep[p_c])[:, None]) & p_valid[
-            :, None
-        ]
-        p_bc = jnp.clip(p_base, 0, e_total - 1)
-        p_t = di.key_edge_term[p_bc]
-        p_w = di.key_edge_weight[p_bc]
-        p_s = s_eff[p_t]
-        p_pass = p_in & pass_any[p_t]
-        p_val = jnp.max(jnp.where(p_pass, p_w * p_s, _NEG_INF), axis=1)
-        p_reached = p_pass.any(axis=1)
-        p_promoted = (p_pass & (p_s > cutoff)).any(axis=1)
-        p_score = jnp.where(p_reached, jnp.maximum(p_val, 0.0), 0.0)
-        p_score = jnp.where(
-            p_promoted & p_reached, jnp.maximum(p_score, PROMOTED_SCORE), p_score
+        n_valid = jnp.sum(lane_valid.astype(jnp.int32))
+        starts_sorted = jax.lax.sort(jnp.where(first, pos, s_cap))
+        next_start = jnp.concatenate(
+            [starts_sorted[1:], jnp.full((1,), s_cap, jnp.int32)]
         )
-        reached_total = reached_cand + jnp.sum(p_reached.astype(jnp.int32))
-
-        # -- final ranking --------------------------------------------------
-        f_key = jnp.concatenate([k_sorted, p_c])
-        f_score = jnp.concatenate([cand_score, p_score])
-        f_valid = jnp.concatenate([cand_valid, p_reached])
-        f_len = di.key_len[jnp.clip(f_key, 0, k_total - 1)]
-        neg = jnp.where(f_valid, -f_score, np.float32(np.inf))
-        _, _, out_key, out_score = jax.lax.sort(
-            (neg, jnp.where(f_valid, f_len, np.int32(2**30)), f_key, f_score),
-            num_keys=3,
+        run_len = jnp.where(
+            starts_sorted < s_cap,
+            jnp.minimum(next_start, n_valid) - starts_sorted,
+            0,
+        )
+        run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+        hits_lane = run_len[jnp.clip(run_id, 0, s_cap - 1)]
+        s_long_lane = hits_lane.astype(jnp.float32) / nqg_f
+        long_pass = first & (nqg > 0) & (s_long_lane >= threshold)
+        n_pass = jnp.sum(long_pass.astype(jnp.int32))
+        gid_lane = jnp.clip(ts + tid_sorted, 0, t_total - 1)
+        u_long = jnp.where(
+            long_pass, di.term_wmax[gid_lane] * s_long_lane, _NEG_INF
         )
 
-        # -- exactness ---------------------------------------------------
-        lim_idx = jnp.clip(limit - 1, 0, n_edge + promo_edges - 1)
-        sigma_l = -neg.sort()[lim_idx]  # limit-th best valid score
-        exact = (~overflow) & (
-            (n_pass <= n_cand)
-            | ((reached_total >= limit) & (sigma_l > u_c))
-        )
-        count = jnp.where(
-            n_pass <= n_cand, reached_total, jnp.minimum(reached_total, limit)
-        )
-        return count, out_key[:top_k], out_score[:top_k], exact
+        def long_score(p_t):
+            # hits for arbitrary long ids: binary search into the run lanes
+            p_local = jnp.clip(p_t - ts, 0, tl)
+            pl = jnp.searchsorted(tid_sorted, p_local.ravel()).reshape(
+                p_t.shape
+            )
+            pl_c = jnp.clip(pl, 0, s_cap - 1)
+            found = (
+                (tid_sorted[pl_c] == p_local) & (pl < s_cap) & (p_t >= ts)
+            )
+            p_s = hits_lane[pl_c].astype(jnp.float32) / nqg_f
+            return p_s, found & (nqg > 0) & (p_s >= threshold)
 
-    return jax.lax.map(
-        one, (qtokens, qlens, qslots, n_qgrams, use_short, promo_ids, limits)
+        if compute_short:
+            s_short, pass_short, u_short = _short_tier(
+                di, qtok, qlen, us, threshold, qlen_f
+            )
+            n_pass = n_pass + jnp.sum(pass_short.astype(jnp.int32))
+            u_all = jnp.concatenate([u_short, u_long])
+            s_all = jnp.concatenate([s_short, s_long_lane])
+            gid_all = jnp.concatenate(
+                [jnp.arange(ts, dtype=jnp.int32), gid_lane]
+            )
+
+            def term_score(p_t):
+                p_sl, p_pl = long_score(p_t)
+                p_sh = p_t < ts
+                p_ss = s_short[jnp.clip(p_t, 0, max(ts - 1, 0))]
+                p_ps = p_sh & us & (p_ss >= threshold)
+                return (
+                    jnp.where(p_sh, p_ss, p_sl),
+                    jnp.where(p_sh, p_ps, p_pl),
+                )
+        else:
+            u_all, s_all, gid_all = u_long, s_long_lane, gid_lane
+            term_score = long_score
+
+        return _finish_candidates(
+            di, u_all, s_all, gid_all, n_pass, term_score, promo, limit,
+            threshold, n_cand=n_cand, n_edge=n_edge,
+            promo_edges=promo_edges, top_k=top_k,
+        )
+
+    # vmap, not lax.map: a serial device loop pays per-op latency per query
+    # (~14 ms/query measured on v5e); batched sorts amortize it.  Memory is
+    # O(B * (s_cap + n_edge [+ Ts])), so the host sizes B from s_cap
+    # (SearchEngine._run_candidate_chunks).
+    return jax.vmap(one)(
+        (qtokens, qlens, qslots, n_qgrams, use_short, promo_ids, limits)
     )
 
 
-candidates_device = functools.partial(
+candidates_runs = functools.partial(
     jax.jit,
     static_argnames=(
         "compute_short", "s_cap", "n_cand", "n_edge", "promo_edges", "top_k",
     ),
-)(candidates_device_impl)
+)(candidates_runs_impl)
+
+# backwards-compatible alias (pre-matmul name)
+candidates_device = candidates_runs

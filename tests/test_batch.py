@@ -39,3 +39,49 @@ def test_batch_bucketing():
     want = engine.search("telephon", 0.3, 10)
     for got in res:
         assert got[0] == want[0]
+
+
+def _rand_words(rng, n):
+    import string
+
+    alphabet = string.ascii_letters + " .%"
+    return [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 18)))
+        for _ in range(n)
+    ]
+
+
+def test_candidate_front_ends_match_oracle():
+    """Both candidate front ends (MXU matmul + sorted runs) are exact."""
+    import random
+
+    from stringsearchlib_tpu.utils.oracle import OracleIndex
+
+    rng = random.Random(5)
+    words = _rand_words(rng, 3000)
+    weights = [0.5 if rng.random() < 0.2 else 1.0 for _ in range(3000)]
+    host = build_index(words, 2, weights, IndexConfig())
+    oracle = OracleIndex(words, row_size=2, weights=weights)
+    engine = SearchEngine(host)
+    queries = [words[rng.randrange(3000)][: rng.randint(4, 12)] for _ in range(8)]
+    queries += ["zzzz9", words[0]]
+
+    def run(label):
+        outs = engine.search_batch(queries, 0.25, 20, mode="candidates")
+        for q, (r, s) in zip(queries, outs):
+            ws, wsc = oracle.search(q, 0.25, 20)
+            got = sorted(zip([round(float(x), 4) for x in s], [len(k) for k in r]))
+            want = sorted(zip([round(v, 4) for v in wsc], [len(k) for k in ws]))
+            assert got == want, (label, q, r[:3], ws[:3])
+
+    assert host.gram_matrix() is not None
+    run("matmul")
+    host._gram_matrix_cache = False  # force the sorted-runs front end
+    run("runs")
+
+
+def test_gram_matrix_budget():
+    host = build_index(WORDS, 1, None, IndexConfig())
+    assert host.gram_matrix(budget_bytes=1) is None  # over budget -> None
+    # and the over-budget outcome is cached as a miss, not an array
+    assert host._gram_matrix_cache is False
