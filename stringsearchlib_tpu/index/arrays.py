@@ -43,6 +43,14 @@ class DeviceIndex:
     edge_weight: jnp.ndarray  # (E,) float32
     term_edge_ptr: jnp.ndarray  # (T + 1,) int32
     term_wmax: jnp.ndarray  # (T,) float32
+    # primary-edge decomposition: every term's FIRST edge as dense arrays
+    # (one gather per candidate instead of a CSR expansion; most terms have
+    # exactly one key), remaining edges as a small term-keyed CSR.
+    term_prim_key: jnp.ndarray  # (T,) int32, -1 = term has no edges
+    term_prim_weight: jnp.ndarray  # (T,) float32
+    term_extra_ptr: jnp.ndarray  # (T + 1,) int32 over the extra edges
+    extra_key: jnp.ndarray  # (E - T',) int32
+    extra_weight: jnp.ndarray  # (E - T',) float32
     # key-sorted duplicate of the edges (promotion scoring on the candidate
     # path examines the <= PK promo keys' own edge slices)
     key_edge_ptr: jnp.ndarray  # (K + 1,) int32

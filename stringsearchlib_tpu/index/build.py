@@ -23,6 +23,7 @@ converted back to Python strings.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
@@ -134,17 +135,31 @@ class HostIndex:
             return None if gm is False else gm
         g = self.n_grams
         tl = int(self.device.long_lengths.shape[0])
-        if g == 0 or tl == 0 or 2 * g * tl > budget_bytes:
+        if g == 0 or tl == 0 or g * tl > budget_bytes:
             self._gram_matrix_cache = False
             return None
-        terms = np.asarray(self.device.gram_terms)
-        rows = np.repeat(
-            np.arange(g, dtype=np.int64), self.host_posting_lens
-        )
-        m = np.zeros((g, tl), dtype=np.uint8)
-        m[rows, terms] = 1
-        # ship u8 (half the bytes), widen to bf16 on device
-        gm = jnp.asarray(m).astype(jnp.bfloat16)
+        # Built ON DEVICE from the CSR already resident in HBM - no
+        # host->device shipment of the (G, Tl) matrix, just one scatter.
+        # int8: exact 0/1, half the HBM of bf16, double MXU rate on v5e.
+        import jax
+
+        @functools.partial(jax.jit, static_argnums=(2, 3))
+        def _build(gram_ptr, gram_terms, g, tl):
+            p = gram_terms.shape[0]
+            rows = (
+                jnp.searchsorted(
+                    gram_ptr, jnp.arange(p, dtype=gram_ptr.dtype),
+                    side="right",
+                ).astype(jnp.int32)
+                - 1
+            )
+            return (
+                jnp.zeros((g, tl), jnp.int8)
+                .at[rows, gram_terms]
+                .set(1, mode="drop")
+            )
+
+        gm = _build(self.device.gram_ptr, self.device.gram_terms, g, tl)
         self._gram_matrix_cache = gm
         return gm
 
@@ -205,6 +220,43 @@ def _edge_csr(edge_term: np.ndarray, edge_weight: np.ndarray, n_terms: int):
     if edge_weight.shape[0]:
         wmax[nz] = np.maximum.reduceat(edge_weight, ptr[:-1][nz])
     return ptr, wmax
+
+
+def _edge_primary(
+    edge_term: np.ndarray,
+    edge_key: np.ndarray,
+    edge_weight: np.ndarray,
+    n_terms: int,
+):
+    """Primary-edge decomposition from term-sorted edges.
+
+    Returns (prim_key, prim_weight, extra_ptr, extra_key, extra_weight):
+    each term's first edge densely, the rest as a term-keyed CSR.  The
+    candidate search reads primaries with one gather per candidate; the
+    extras CSR is usually tiny (terms mapping to several master keys)."""
+    counts = np.bincount(edge_term, minlength=n_terms).astype(np.int64)
+    ptr = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(counts, out=ptr[1:])
+    prim_key = np.full(n_terms, -1, dtype=np.int32)
+    prim_weight = np.zeros(n_terms, dtype=np.float32)
+    nz = counts > 0
+    if edge_key.shape[0]:
+        prim_key[nz] = edge_key[ptr[:-1][nz]]
+        prim_weight[nz] = edge_weight[ptr[:-1][nz]]
+    # extras: everything after each term's first edge
+    is_extra = np.ones(edge_term.shape[0], dtype=bool)
+    if edge_key.shape[0]:
+        is_extra[ptr[:-1][nz]] = False
+    extra_counts = np.maximum(counts - 1, 0).astype(np.int32)
+    extra_ptr = np.zeros(n_terms + 1, dtype=np.int32)
+    np.cumsum(extra_counts, out=extra_ptr[1:])
+    return (
+        prim_key,
+        prim_weight,
+        extra_ptr,
+        edge_key[is_extra],
+        edge_weight[is_extra],
+    )
 
 
 def _key_edge_csr(
@@ -293,6 +345,7 @@ def _build_from_native(nat, words, row_size, weights, config, valid_chars):
     et, ek, ew = et[order], ek[order], ew[order]
     n_terms_total = d["short_lengths"].shape[0] + d["long_lengths"].shape[0]
     te_ptr, t_wmax = _edge_csr(et, ew, n_terms_total)
+    pk, pw, xptr, xkey, xw = _edge_primary(et, ek, ew, n_terms_total)
     ke_ptr, ke_term, ke_w, ke_counts = _key_edge_csr(
         et, ek, ew, d["key_lengths"].shape[0]
     )
@@ -321,6 +374,11 @@ def _build_from_native(nat, words, row_size, weights, config, valid_chars):
         edge_weight=jnp.asarray(ew),
         term_edge_ptr=jnp.asarray(te_ptr),
         term_wmax=jnp.asarray(t_wmax),
+        term_prim_key=jnp.asarray(pk),
+        term_prim_weight=jnp.asarray(pw),
+        term_extra_ptr=jnp.asarray(xptr),
+        extra_key=jnp.asarray(xkey),
+        extra_weight=jnp.asarray(xw),
         key_edge_ptr=jnp.asarray(ke_ptr),
         key_edge_term=jnp.asarray(ke_term),
         key_edge_weight=jnp.asarray(ke_w),
@@ -492,6 +550,9 @@ def _build_numpy(
     knorm = _pad_width(knorm, 1)
 
     te_ptr, t_wmax = _edge_csr(edge_term, edge_weight, n_short + n_long)
+    pk, pw, xptr, xkey, xw = _edge_primary(
+        edge_term, edge_key, edge_weight, n_short + n_long
+    )
     ke_ptr, ke_term, ke_w, ke_counts = _key_edge_csr(
         edge_term, edge_key, edge_weight, n_keys
     )
@@ -507,6 +568,11 @@ def _build_numpy(
         edge_weight=jnp.asarray(edge_weight),
         term_edge_ptr=jnp.asarray(te_ptr),
         term_wmax=jnp.asarray(t_wmax),
+        term_prim_key=jnp.asarray(pk),
+        term_prim_weight=jnp.asarray(pw),
+        term_extra_ptr=jnp.asarray(xptr),
+        extra_key=jnp.asarray(xkey),
+        extra_weight=jnp.asarray(xw),
         key_edge_ptr=jnp.asarray(ke_ptr),
         key_edge_term=jnp.asarray(ke_term),
         key_edge_weight=jnp.asarray(ke_w),

@@ -28,7 +28,7 @@ from ..core import text as textlib
 from .arrays import DeviceIndex
 from .build import HostIndex, KeyStrings
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: primary-edge decomposition arrays added
 
 # DeviceIndex fields saved verbatim (all reconstructed with jnp.asarray).
 _DEVICE_FIELDS = (
@@ -36,6 +36,8 @@ _DEVICE_FIELDS = (
     "gram_ptr", "gram_terms",
     "edge_term", "edge_key", "edge_weight",
     "term_edge_ptr", "term_wmax",
+    "term_prim_key", "term_prim_weight",
+    "term_extra_ptr", "extra_key", "extra_weight",
     "key_edge_ptr", "key_edge_term", "key_edge_weight",
     "key_len", "key_norm_tokens", "key_norm_lengths",
 )

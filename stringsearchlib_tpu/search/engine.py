@@ -504,8 +504,9 @@ class SearchEngine:
             for r, item in enumerate(chunk):
                 self._emit_row(out, item[0], counts[r], ids_b[r], scores_b[r], limit)
 
-    # HBM budget for the dense gram->term incidence matrix (MXU hits path)
-    GM_BUDGET = 1536 << 20
+    # HBM budget for the dense gram->term incidence matrix (MXU hits path;
+    # int8, so bytes == G * Tl)
+    GM_BUDGET = 4 << 30
 
     def _run_candidate_chunks(self, items, threshold, limit, batch_bucket, qp, out):
         """Candidate-sparse batches; returns rows needing a dense retry.
@@ -519,10 +520,15 @@ class SearchEngine:
 
         di = self.host.device
         ts, tl = di.n_short, di.n_long
-        n_edges = int(di.edge_key.shape[0])
-        n_edge = min(max(_next_pow2(limit * 8, 1024), self.CAND_EDGES),
-                     max(_next_pow2(n_edges, 16), 16))
-        top_k = min(_next_pow2(limit, 16), n_edge)
+        # n_edge caps the EXTRA-edge lanes (terms with >1 master key); the
+        # primary edge of every candidate is handled densely.  Cover all
+        # extras when the index has few; otherwise cap and rely on the
+        # overflow -> dense retry.
+        x_total = int(di.extra_key.shape[0])
+        n_edge = min(
+            max(_next_pow2(max(x_total, 1), 16), 16), self.CAND_EDGES
+        )
+        top_k = _next_pow2(limit, 16)
 
         b_all, qtok, qlens, slots, nqg, use_short, s_cap = self._prep_rows(
             items, qp
@@ -537,10 +543,6 @@ class SearchEngine:
         if gm is not None:
             n_lanes = (ts if compute_short else 0) + tl
             per_q = 48 * (ts + tl) + 24 * n_edge + (1 << 16)
-            g = self.host.n_grams
-            qcnt = np.zeros((b_all, g), dtype=np.float32)
-            rows, cols = np.nonzero(slots >= 0)
-            np.add.at(qcnt, (rows, slots[rows, cols]), 1.0)
         else:
             n_lanes = (ts if compute_short else 0) + s_cap
             per_q = (
@@ -567,7 +569,7 @@ class SearchEngine:
                     gm,
                     jnp.asarray(qtok[sl]),
                     jnp.asarray(qlens[sl]),
-                    jnp.asarray(qcnt[sl]),
+                    jnp.asarray(slots[sl]),
                     jnp.asarray(nqg[sl]),
                     jnp.asarray(use_short[sl]),
                     jnp.asarray(promo_all[sl]),
