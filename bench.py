@@ -80,9 +80,11 @@ def main() -> None:
     engine = SearchEngine(host)
 
     queries = [_mutate(rng, rng.choice(words)) for _ in range(n_queries)]
-    batch = int(os.environ.get("BENCH_BATCH", 256))
+    batch = int(os.environ.get("BENCH_BATCH", 512))
 
-    # warmup: compile the batch variant(s) this query set touches
+    # warmup: build the gram matrix (if it fits) and compile the batch
+    # variant(s) this query set touches
+    gm = host.gram_matrix(engine.GM_BUDGET)
     engine.search_batch(queries, threshold, limit, batch_bucket=batch)
 
     reps = max(1, int(os.environ.get("BENCH_REPS", 4)))
@@ -110,6 +112,8 @@ def main() -> None:
                     "index_build_mb_per_s": round(build_mbps, 2),
                     "n_keys": n_keys,
                     "threshold": threshold,
+                    "hits_path": "matmul" if gm is not None else "runs",
+                    "n_grams": host.n_grams,
                 },
             }
         )

@@ -291,6 +291,97 @@ def sharded_search_step(
     return _finalize(_FinalView(key_len), score, reached, top_k)
 
 
+def sharded_search_batch_step(
+    sx_leaves: dict,
+    qtokens,  # (B, Qp)
+    qlens,  # (B,)
+    qslots,  # (B, Qmax)
+    n_qgrams,  # (B,)
+    use_short,  # (B,) bool
+    threshold,
+    *,
+    mesh: Mesh,
+    compute_short: bool,
+    s_cap: int,
+    top_k: int,
+    key_len,
+):
+    """Batched replicated-query search over the term-sharded index.
+
+    One dispatch scores B queries: each shard computes vmapped per-key raw
+    maxima on its term chunk, the (B, K+1) maxima and promotion flags merge
+    with one pmax pair over the mesh axis, and ranking runs replicated.
+    ICI cost per batch = 2 * B * (K+1) values - independent of shard count.
+    """
+    stacked_names = (
+        "short_tokens", "short_lengths", "long_tokens", "long_lengths",
+        "gram_ptr", "gram_terms", "edge_term", "edge_key", "edge_weight",
+    )
+    in_specs = (
+        {n: (P(AXIS) if n in stacked_names else P()) for n in sx_leaves},
+        P(), P(), P(), P(), P(), P(),
+    )
+
+    def shard_fn(leaves, qtok, qls, qsl, nqg, us, thr):
+        di = _GhostKeys(
+            **{n: (leaves[n][0] if n in stacked_names else leaves[n])
+               for n in leaves}
+        )
+
+        def one(args):
+            qt, ql, sl, ng, u = args
+            qlen_f = jnp.maximum(ql.astype(jnp.float32), 1.0)
+            ts, tl = di.n_short, di.n_long
+            if compute_short:
+                from ..search.editdist import dp_match
+
+                m_short = dp_match(di.short_tokens, di.short_lengths, qt, ql)
+                s_short = m_short.astype(jnp.float32) / qlen_f
+            else:
+                s_short = jnp.zeros((ts,), jnp.float32)
+            s_a = jnp.concatenate([s_short, jnp.zeros((tl,), jnp.float32)])
+            mask_a = jnp.concatenate(
+                [jnp.broadcast_to(u, (ts,)), jnp.zeros((tl,), bool)]
+            )
+            from ..search.overlap import gather_hits
+
+            hits = gather_hits(di.gram_ptr, di.gram_terms, sl, tl, s_cap)
+            s_b_long = hits.astype(jnp.float32) / jnp.maximum(
+                ng.astype(jnp.float32), 1.0
+            )
+            s_b = jnp.concatenate([jnp.zeros((ts,), jnp.float32), s_b_long])
+            mask_b = jnp.concatenate(
+                [jnp.zeros((ts,), bool), (hits > 0) & (ng > 0)]
+            )
+            eq_key = _key_eq_query(di, qt, ql)
+            return _propagate_raw(di, s_a, mask_a, s_b, mask_b, eq_key, thr)
+
+        key_val, promo = jax.vmap(one)((qtok, qls, qsl, nqg, us))
+        return jax.lax.pmax(key_val, AXIS), jax.lax.pmax(promo, AXIS)
+
+    key_val, promo = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
+        check_vma=False,
+    )(sx_leaves, qtokens, qlens, qslots, n_qgrams, use_short, threshold)
+
+    k = key_len.shape[0]
+
+    class _FinalView:
+        n_keys = k
+
+        def __init__(self, kl):
+            self.key_len = kl
+
+    fv = _FinalView(key_len)
+
+    def rank(args):
+        kv, pr = args
+        score, reached = _floor_and_promote(kv[:-1], pr[:-1])
+        return _finalize(fv, score, reached, top_k)
+
+    return jax.vmap(rank)((key_val, promo))
+
+
 class ShardedEngine:
     """Query front end over a ShardedIndex (replicated queries)."""
 
@@ -374,3 +465,108 @@ class ShardedEngine:
             [self.host.key_strings[i] for i in ids_np],
             [float(s) for s in np.asarray(scores[:n])],
         )
+
+    def search_batch(
+        self, queries, threshold: float = 0.0, limit: int = 100,
+        batch_bucket: int = 256, qp_bucket: int = 32,
+    ):
+        """Batched sharded search; one dispatch per chunk of queries.
+
+        Wildcards, brute-force-short and over-length queries fall back to
+        the per-query path (same rule as the single-chip engine)."""
+        from ..config import INT32_MAX
+
+        if limit == 0:
+            limit = INT32_MAX
+        out: list = [None] * len(queries)
+        if not self.host.indexed:
+            return [([], [])] * len(queries)
+
+        items = []
+        for i, q in enumerate(queries):
+            raw = q if isinstance(q, str) else str(q)
+            if len(raw) == 0 or raw == "*":
+                out[i] = self.search(raw, threshold, limit)
+                continue
+            qnorm, qlen = self._front._normalize_query(raw)
+            if qlen == 0:
+                out[i] = ([], [])
+            elif qlen <= self.cfg.brute_force_cutoff or qlen > qp_bucket:
+                out[i] = self.search(raw, threshold, limit)
+            else:
+                items.append((i, qnorm, qlen))
+        if not items:
+            return out
+
+        top_k = self._front._top_k(limit)
+        lens = self.sx.host_shard_posting_lens
+        g = self.cfg.gram_size
+        from ..core import grams as gramlib
+
+        for lo in range(0, len(items), batch_bucket):
+            chunk = items[lo : lo + batch_bucket]
+            b = 16
+            while b < len(chunk):
+                b *= 2
+            qp = qp_bucket
+            qmax = qp - g + 1
+            qtok = np.zeros((b, qp), dtype=np.int32)
+            qlens = np.zeros(b, dtype=np.int32)
+            slots = np.full((b, qmax), -1, dtype=np.int32)
+            nqg = np.zeros(b, dtype=np.int32)
+            us = np.zeros(b, dtype=bool)
+            s_total = 0
+            for r, (pos, qnorm, qlen) in enumerate(chunk):
+                qtok[r, :qlen] = qnorm[:qlen]
+                qlens[r] = qlen
+                us[r] = qlen < self.cfg.short_search_cutoff
+                if qlen >= g:
+                    n = qlen - g + 1
+                    nqg[r] = n
+                    ids, valid = gramlib.gram_ids(
+                        qnorm[None, : max(qlen, g)], np.array([qlen]), g,
+                        self.cfg.wide, self.host.vocab,
+                    )
+                    row = self.host.lookup_gram_slots(ids[0][valid[0]])
+                    slots[r, :n] = row
+                    present = row[row >= 0]
+                    if present.size:
+                        s_total = max(
+                            s_total,
+                            int(lens[:, present].sum(axis=1).max()),
+                        )
+            s_cap = 128
+            while s_cap < max(s_total, 1):
+                s_cap *= 2
+
+            static_key = ("batch", bool(us.any()), s_cap, top_k, b)
+            if static_key not in self._jitted:
+                self._jitted[static_key] = jax.jit(
+                    functools.partial(
+                        sharded_search_batch_step,
+                        mesh=self.mesh,
+                        compute_short=bool(us.any()),
+                        s_cap=s_cap,
+                        top_k=top_k,
+                        key_len=self.sx.key_len,
+                    )
+                )
+            counts, ids_b, scores_b = self._jitted[static_key](
+                self._leaves(),
+                jnp.asarray(qtok),
+                jnp.asarray(qlens),
+                jnp.asarray(slots),
+                jnp.asarray(nqg),
+                jnp.asarray(us),
+                np.float32(threshold),
+            )
+            counts = np.asarray(counts)
+            ids_b = np.asarray(ids_b)
+            scores_b = np.asarray(scores_b)
+            for r, (pos, _, _) in enumerate(chunk):
+                n = min(int(counts[r]), limit, ids_b.shape[1])
+                out[pos] = (
+                    [self.host.key_strings[j] for j in ids_b[r, :n]],
+                    [float(s) for s in scores_b[r, :n]],
+                )
+        return out

@@ -431,7 +431,7 @@ class SearchEngine:
 
     # HBM budget for per-batch intermediates; vmapped kernels allocate
     # O(B x terms) so B must shrink as the index grows.
-    BATCH_HBM_BUDGET = 2 << 30
+    BATCH_HBM_BUDGET = 6 << 30
 
     def _batch_cap(self, batch_bucket: int) -> int:
         per_query = 48 * max(self.host.n_terms, 1) + (1 << 20)

@@ -62,3 +62,24 @@ def test_sharded_limit(mesh_size):
     got = sharded.search("graph", 0.2, 3)
     want = single.search("graph", 0.2, 3)
     assert got == want
+
+
+def test_sharded_batch_matches_single(mesh_size):
+    single, sharded = _engines(WORDS, mesh_size)
+    queries = ["telephon", "graph", "LWMS", "tele", "zz", "micro phone",
+               "*", "", "a", "x" * 40]
+    for threshold in (0.0, 0.3):
+        got = sharded.search_batch(queries, threshold, 10)
+        for q, g in zip(queries, got):
+            want = single.search(q, threshold, 10)
+            assert g[0] == want[0], (q, threshold, g, want)
+            np.testing.assert_allclose(g[1], want[1], atol=1e-6)
+
+
+def test_sharded_batch_weights(mesh_size):
+    words = ["Widget A", "wdgt", "gadget a", "Widget B", "wb", "small b"]
+    weights = [1.0, 0.5, 0.7, 1.0, 0.2, 0.9]
+    single, sharded = _engines(words, mesh_size, row_size=3, weights=weights)
+    got = sharded.search_batch(["widget", "gadget"], 0.0, 5)
+    for q, g in zip(["widget", "gadget"], got):
+        assert g == single.search(q, 0.0, 5)
