@@ -86,6 +86,14 @@ def _finish_candidates(
     t_sel = gid_all[sel_c]
     s_sel = s_all[sel_c]
 
+    # sort candidates by term id before the table gathers: sorted indices
+    # make the DMA access pattern near-sequential (downstream order is
+    # irrelevant - everything re-sorts by key)
+    t_sel, s_sel = jax.lax.sort(
+        (jnp.where(sel_valid, t_sel, t_total), s_sel), num_keys=1
+    )
+    sel_valid = t_sel < t_total
+
     # -- primary edges: one gather per candidate --------------------------
     tg = jnp.clip(t_sel, 0, t_total - 1)
     pk_e = jnp.where(sel_valid, di.term_prim_key[tg], -1)
@@ -162,14 +170,14 @@ def _finish_candidates(
     f_valid = jnp.concatenate([cand_valid, p_reached])
     f_len = di.key_len[jnp.clip(f_key, 0, k_total - 1)]
     neg = jnp.where(f_valid, -f_score, np.float32(np.inf))
-    _, _, out_key, out_score = jax.lax.sort(
+    neg_sorted, _, out_key, out_score = jax.lax.sort(
         (neg, jnp.where(f_valid, f_len, np.int32(2**30)), f_key, f_score),
         num_keys=3,
     )
 
     # -- exactness ---------------------------------------------------------
     lim_idx = jnp.clip(limit - 1, 0, neg.shape[0] - 1)
-    sigma_l = -jax.lax.sort(neg)[lim_idx]  # limit-th best valid score
+    sigma_l = -neg_sorted[lim_idx]  # limit-th best valid score
     exact = (~overflow) & (
         (n_pass <= n_cand) | ((reached_total >= limit) & (sigma_l > u_c))
     )

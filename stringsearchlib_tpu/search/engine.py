@@ -312,6 +312,17 @@ class SearchEngine:
             qnorm, qlen = self._normalize_query(raw)
             if qlen == 0:
                 return [], []
+            # On large indexes an eligible single query routes through the
+            # candidate batch path: the dense path's full K-key sort is the
+            # wrong cost model at millions of keys.
+            if (
+                limit <= self.CAND_MAX_LIMIT
+                and self.host.n_terms >= self.CAND_MIN_TERMS
+                and self.cfg.brute_force_cutoff < qlen <= 32
+            ):
+                return self._search_batch_impl(
+                    [raw], threshold, limit, 256, 32, "auto"
+                )[0]
             qtok, qmax, slots, n_qgrams, s_cap = self._query_buffers(qnorm, qlen)
             use_short = qlen < self.cfg.short_search_cutoff
             brute_long = qlen <= self.cfg.brute_force_cutoff
