@@ -1,14 +1,18 @@
-"""Pallas TPU kernel: batched 1D table gather with VMEM staging.
+"""EXPERIMENTAL Pallas kernel: batched 1D table gather with VMEM staging.
 
-XLA lowers 1D dynamic gathers on TPU to a slow per-element path; gathering
-a few thousand random candidate rows from a (T,) table measured ~150 ns per
-element on v5e - the dominant cost of the candidate back half at T = 1M.
-This kernel tiles the table over the grid, DMAs each tile into VMEM once,
-and serves every index that falls inside the tile from on-chip memory.
+XLA lowers 1D dynamic gathers on TPU to a slow per-element path (~90 ns
+per element measured on v5e - the dominant cost of the candidate back half
+at T = 1M).  This kernel tiles the table over the grid, DMAs each tile
+into VMEM once, and serves every index inside the tile from on-chip
+memory.
 
-Indices are expected SORTED ascending per row (the engine sorts candidates
-by term id anyway); sortedness is not required for correctness -
-out-of-tile indices are simply masked - but it maximizes tile locality.
+STATUS: correct under the Pallas interpreter (tested), but the in-kernel
+``table_ref[local_c]`` arbitrary-index gather does NOT lower on current
+Mosaic ("Cannot do int indexing on TPU"): Mosaic's ``tpu.dynamic_gather``
+only supports same-shape 2D take_along_axis forms, which cannot express an
+arbitrary flat-index gather without per-lane index bucketing.  Kept as the
+reference implementation for a future Mosaic revision; the production
+engine uses XLA gathers with per-row-sorted indices instead.
 
 Semantics: out[b, c] = table[idx[b, c]] for 0 <= idx < T, else ``fill``.
 Several tables can be gathered at the same indices in one pass (they share
