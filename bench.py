@@ -100,6 +100,14 @@ def main() -> None:
     p50 = float(np.percentile(np.array(lat), 50) * 1e3)
     build_mbps = total_bytes / 1e6 / build_s
 
+    # interactive path: one query per dispatch
+    singles = queries[:32]
+    engine.search(singles[0], threshold, limit)  # warm the single variants
+    t2 = time.perf_counter()
+    for q in singles:
+        engine.search(q, threshold, limit)
+    single_p50 = (time.perf_counter() - t2) / len(singles) * 1e3
+
     print(
         json.dumps(
             {
@@ -114,6 +122,7 @@ def main() -> None:
                     "threshold": threshold,
                     "hits_path": "matmul" if gm is not None else "runs",
                     "n_grams": host.n_grams,
+                    "single_query_p50_ms": round(single_p50, 3),
                 },
             }
         )

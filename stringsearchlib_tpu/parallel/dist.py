@@ -459,11 +459,11 @@ class ShardedEngine:
             np.int32(n_qgrams),
             np.float32(threshold),
         )
-        n = min(int(count), limit, int(ids.shape[0]))
-        ids_np = np.asarray(ids[:n])
+        count, ids_np, scores_np = jax.device_get((count, ids, scores))
+        n = min(int(count), limit, int(ids_np.shape[0]))
         return (
-            [self.host.key_strings[i] for i in ids_np],
-            [float(s) for s in np.asarray(scores[:n])],
+            [self.host.key_strings[i] for i in ids_np[:n]],
+            [float(s) for s in scores_np[:n]],
         )
 
     def search_batch(
@@ -560,9 +560,7 @@ class ShardedEngine:
                 jnp.asarray(us),
                 np.float32(threshold),
             )
-            counts = np.asarray(counts)
-            ids_b = np.asarray(ids_b)
-            scores_b = np.asarray(scores_b)
+            counts, ids_b, scores_b = jax.device_get((counts, ids_b, scores_b))
             for r, (pos, _, _) in enumerate(chunk):
                 n = min(int(counts[r]), limit, ids_b.shape[1])
                 out[pos] = (

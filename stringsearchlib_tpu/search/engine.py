@@ -339,12 +339,13 @@ class SearchEngine:
                 top_k=top_k,
             )
 
-        n = min(int(count), limit, int(ids.shape[0]))
-        ids_np = np.asarray(ids[:n])
-        scores_np = np.asarray(scores[:n])
+        # one fetch for all three results: each np.asarray is a separate
+        # device->host round trip (~40 ms each through a remote backend)
+        count, ids_np, scores_np = jax.device_get((count, ids, scores))
+        n = min(int(count), limit, int(ids_np.shape[0]))
         return (
-            [self.host.key_strings[i] for i in ids_np],
-            [float(s) for s in scores_np],
+            [self.host.key_strings[i] for i in ids_np[:n]],
+            [float(s) for s in scores_np[:n]],
         )
 
     # -- batched search ----------------------------------------------------
@@ -509,9 +510,7 @@ class SearchEngine:
                 s_cap=s_cap,
                 top_k=top_k,
             )
-            counts = np.asarray(counts)
-            ids_b = np.asarray(ids_b)
-            scores_b = np.asarray(scores_b)
+            counts, ids_b, scores_b = jax.device_get((counts, ids_b, scores_b))
             for r, item in enumerate(chunk):
                 self._emit_row(out, item[0], counts[r], ids_b[r], scores_b[r], limit)
 
@@ -610,10 +609,9 @@ class SearchEngine:
                     promo_edges=self.PROMO_EDGES,
                     top_k=top_k,
                 )
-            counts = np.asarray(counts)
-            ids_b = np.asarray(ids_b)
-            scores_b = np.asarray(scores_b)
-            exact = np.asarray(exact)
+            counts, ids_b, scores_b, exact = jax.device_get(
+                (counts, ids_b, scores_b, exact)
+            )
             for r, item in enumerate(items[lo:hi]):
                 if exact[r]:
                     self._emit_row(
