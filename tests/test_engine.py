@@ -169,3 +169,25 @@ def test_property_random_corpus(seed):
         thr = rng.choice([0.0, 0.2, 0.5])
         limit = rng.choice([0, 1, 5])
         assert_match(engine, oracle, q, thr, limit, msg=f"seed={seed}")
+
+
+def test_single_query_candidate_routing_matches_dense():
+    """Large-index single queries route through the candidate batch path;
+    force the routing on a small corpus and compare with the dense path."""
+    import random
+
+    from stringsearchlib_tpu.utils.oracle import OracleIndex
+
+    rng = random.Random(42)
+    words = [
+        "".join(rng.choice("abcdefgh ij.") for _ in range(rng.randint(2, 14)))
+        for _ in range(300)
+    ]
+    engine, oracle = make_pair(words)
+    engine.CAND_MIN_TERMS = 0  # instance attr shadows the class threshold
+    for q in ["abcd", "efgh ij", "abcdefgh", "zzzz"]:
+        got = engine.search(q, 0.25, 10)
+        ws, wsc = oracle.search(q, 0.25, 10)
+        got_c = sorted(zip([round(s, 4) for s in got[1]], map(len, got[0])))
+        want_c = sorted(zip([round(s, 4) for s in wsc], map(len, ws)))
+        assert got_c == want_c, (q, got, ws)
