@@ -55,8 +55,8 @@ _NEG_INF = np.float32(-np.inf)
 
 
 def _finish_candidates(
-    di, u_all, s_all, gid_all, n_pass, term_score, promo, limit, threshold,
-    *, n_cand, n_edge, promo_edges, top_k,
+    di, pt, xt, u_all, s_all, gid_all, n_pass, term_score, promo, limit,
+    threshold, *, n_cand, n_edge, promo_edges, top_k,
 ):
     """From per-lane upper bounds/scores to the final ranked slice.
 
@@ -65,11 +65,12 @@ def _finish_candidates(
     evaluates arbitrary global term ids for the promotion keys' edges.
 
     Edge handling uses the primary-edge decomposition: each candidate's
-    first edge is ONE dense gather (term_prim_key/weight); only terms with
-    several master keys go through a CSR expansion over ``n_edge`` extra
-    lanes.  Per-lane random gathers dominated this kernel on v5e (~0.9 s
-    per 256-query batch with full CSR expansion; primaries cut the gather
-    count ~6x).
+    first edge is ONE 4-wide record gather from ``pt`` ([key, weight bits,
+    key_len, 0] per term; HostIndex.prim_tables) - random 1D gathers cost
+    ~90 ns/element on v5e and dominated this kernel, so key id, weight and
+    key length travel in one row and the length is carried through the
+    ranking sorts instead of re-gathered.  Terms with several master keys
+    expand their remaining edges from ``xt`` over ``n_edge`` extra lanes.
     """
     ts, tl = di.n_short, di.n_long
     t_total = ts + tl
@@ -94,10 +95,12 @@ def _finish_candidates(
     )
     sel_valid = t_sel < t_total
 
-    # -- primary edges: one gather per candidate --------------------------
+    # -- primary edges: one 4-wide record gather per candidate ------------
     tg = jnp.clip(t_sel, 0, t_total - 1)
-    pk_e = jnp.where(sel_valid, di.term_prim_key[tg], -1)
-    pw_e = di.term_prim_weight[tg]
+    prec = pt[tg]  # (C, 4): key, bitcast(weight), key_len, 0
+    pk_e = jnp.where(sel_valid, prec[:, 0], -1)
+    pw_e = jax.lax.bitcast_convert_type(prec[:, 1], jnp.float32)
+    pl_e = prec[:, 2]
 
     # -- extra edges (terms with >1 master key): CSR expansion ------------
     if di.extra_key.shape[0] > 0:
@@ -115,24 +118,27 @@ def _finish_candidates(
             xp[tg[rank_x]] + (pos_x - starts_x[rank_x]), 0, x_total - 1
         )
         xvalid = pos_x < jnp.minimum(tot_x, n_edge)
-        xk_e = jnp.where(xvalid, di.extra_key[x_idx], -1)
-        xw_e = di.extra_weight[x_idx]
+        xrec = xt[x_idx]
+        xk_e = jnp.where(xvalid, xrec[:, 0], -1)
+        xw_e = jax.lax.bitcast_convert_type(xrec[:, 1], jnp.float32)
+        xl_e = xrec[:, 2]
         xs_e = s_sel[rank_x]
         k_e = jnp.concatenate([pk_e, xk_e])
         w_e = jnp.concatenate([pw_e, xw_e])
         s_e = jnp.concatenate([s_sel, xs_e])
+        l_e = jnp.concatenate([pl_e, xl_e])
     else:  # no term maps to more than one key: primaries are everything
         overflow = np.bool_(False)
-        k_e, w_e, s_e = pk_e, pw_e, s_sel
+        k_e, w_e, s_e, l_e = pk_e, pw_e, s_sel, pl_e
     evalid = k_e >= 0
     # promo keys are scored exactly below; exclude them here
     is_promo = (k_e[:, None] == promo[None, :]).any(axis=1)
     evalid = evalid & ~is_promo
     val_e = jnp.where(evalid, w_e * s_e, _NEG_INF)
 
-    # per-key max via (key, -value) sort
-    k_sorted, _, v_sorted = jax.lax.sort(
-        (jnp.where(evalid, k_e, k_total), -val_e, val_e), num_keys=2
+    # per-key max via (key, -value) sort; key lengths ride along
+    k_sorted, _, v_sorted, l_sorted = jax.lax.sort(
+        (jnp.where(evalid, k_e, k_total), -val_e, val_e, l_e), num_keys=2
     )
     kfirst = jnp.concatenate(
         [jnp.ones((1,), bool), k_sorted[1:] != k_sorted[:-1]]
@@ -164,11 +170,12 @@ def _finish_candidates(
     )
     reached_total = reached_cand + jnp.sum(p_reached.astype(jnp.int32))
 
-    # -- final ranking -----------------------------------------------------
+    # -- final ranking (promo lens are a small gather; candidate lens were
+    # carried through the keysort) ----------------------------------------
     f_key = jnp.concatenate([k_sorted, p_c])
     f_score = jnp.concatenate([cand_score, p_score])
     f_valid = jnp.concatenate([cand_valid, p_reached])
-    f_len = di.key_len[jnp.clip(f_key, 0, k_total - 1)]
+    f_len = jnp.concatenate([l_sorted, di.key_len[p_c]])
     neg = jnp.where(f_valid, -f_score, np.float32(np.inf))
     neg_sorted, _, out_key, out_score = jax.lax.sort(
         (neg, jnp.where(f_valid, f_len, np.int32(2**30)), f_key, f_score),
@@ -206,6 +213,8 @@ def _short_tier(di, qtok, qlen, us, threshold, qlen_f):
 def candidates_matmul_impl(
     di,
     gram_matrix,  # (G, Tl) int8 0/1 incidence
+    pt,  # (T, 4) int32 primary-edge records (HostIndex.prim_tables)
+    xt,  # (X, 4) int32 extra-edge records
     qtokens,  # (B, Qp) int32
     qlens,  # (B,) int32
     qslots,  # (B, Qmax) int32 gram slots, -1 = absent (multiplicity kept)
@@ -280,8 +289,8 @@ def candidates_matmul_impl(
                 return s_long[idx], (p_t >= ts) & pass_long[idx]
 
         return _finish_candidates(
-            di, u_all, s_all, gid_all, n_pass, term_score, promo, limit,
-            threshold, n_cand=n_cand, n_edge=n_edge,
+            di, pt, xt, u_all, s_all, gid_all, n_pass, term_score, promo,
+            limit, threshold, n_cand=n_cand, n_edge=n_edge,
             promo_edges=promo_edges, top_k=top_k,
         )
 
@@ -305,6 +314,8 @@ candidates_matmul = functools.partial(
 
 def candidates_runs_impl(
     di,
+    pt,  # (T, 4) int32 primary-edge records (HostIndex.prim_tables)
+    xt,  # (X, 4) int32 extra-edge records
     qtokens,  # (B, Qp) int32
     qlens,  # (B,) int32
     qslots,  # (B, Qmax) int32
@@ -418,8 +429,8 @@ def candidates_runs_impl(
             term_score = long_score
 
         return _finish_candidates(
-            di, u_all, s_all, gid_all, n_pass, term_score, promo, limit,
-            threshold, n_cand=n_cand, n_edge=n_edge,
+            di, pt, xt, u_all, s_all, gid_all, n_pass, term_score, promo,
+            limit, threshold, n_cand=n_cand, n_edge=n_edge,
             promo_edges=promo_edges, top_k=top_k,
         )
 

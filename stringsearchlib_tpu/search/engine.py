@@ -550,6 +550,7 @@ class SearchEngine:
             promo_all[r, : pids.size] = pids
 
         gm = self.host.gram_matrix(self.GM_BUDGET)
+        pt, xt = self.host.prim_tables()
         if gm is not None:
             n_lanes = (ts if compute_short else 0) + tl
             per_q = 48 * (ts + tl) + 24 * n_edge + (1 << 16)
@@ -577,6 +578,8 @@ class SearchEngine:
                 counts, ids_b, scores_b, exact = candidates_matmul(
                     di,
                     gm,
+                    pt,
+                    xt,
                     jnp.asarray(qtok[sl]),
                     jnp.asarray(qlens[sl]),
                     jnp.asarray(slots[sl]),
@@ -594,6 +597,8 @@ class SearchEngine:
             else:
                 counts, ids_b, scores_b, exact = candidates_runs(
                     di,
+                    pt,
+                    xt,
                     jnp.asarray(qtok[sl]),
                     jnp.asarray(qlens[sl]),
                     jnp.asarray(slots[sl]),
