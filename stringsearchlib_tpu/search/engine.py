@@ -495,10 +495,11 @@ class SearchEngine:
     def _run_dense_chunks(self, items, threshold, limit, batch_bucket, qp, out):
         top_k = self._top_k(limit)
         batch_bucket = self._batch_cap(batch_bucket)
+        pending = []
         for lo in range(0, len(items), batch_bucket):
             chunk = items[lo : lo + batch_bucket]
             b, qtok, qlens, slots, nqg, use_short, s_cap = self._prep_rows(chunk, qp)
-            counts, ids_b, scores_b = _search_batch_device(
+            res = _search_batch_device(
                 self.host.device,
                 jnp.asarray(qtok),
                 jnp.asarray(qlens),
@@ -510,7 +511,9 @@ class SearchEngine:
                 s_cap=s_cap,
                 top_k=top_k,
             )
-            counts, ids_b, scores_b = jax.device_get((counts, ids_b, scores_b))
+            pending.append((chunk, res))
+        for chunk, res in pending:
+            counts, ids_b, scores_b = jax.device_get(res)
             for r, item in enumerate(chunk):
                 self._emit_row(out, item[0], counts[r], ids_b[r], scores_b[r], limit)
 
@@ -568,14 +571,16 @@ class SearchEngine:
         while step * 2 <= min(cap, batch_bucket):
             step *= 2
 
-        retry = []
+        # dispatch every chunk before fetching any result: jax dispatch is
+        # async, so later chunks' compute overlaps earlier chunks' transfers
+        pending = []
         for lo in range(0, len(items), step):
             hi = min(lo + step, len(items))
             b = _next_pow2(hi - lo, min(step, 16))
             sl = slice(lo, lo + b)
             lim_arr = np.full((b,), min(limit, 2**30), dtype=np.int32)
             if gm is not None:
-                counts, ids_b, scores_b, exact = candidates_matmul(
+                res = candidates_matmul(
                     di,
                     gm,
                     pt,
@@ -595,7 +600,7 @@ class SearchEngine:
                     top_k=top_k,
                 )
             else:
-                counts, ids_b, scores_b, exact = candidates_runs(
+                res = candidates_runs(
                     di,
                     pt,
                     xt,
@@ -614,9 +619,11 @@ class SearchEngine:
                     promo_edges=self.PROMO_EDGES,
                     top_k=top_k,
                 )
-            counts, ids_b, scores_b, exact = jax.device_get(
-                (counts, ids_b, scores_b, exact)
-            )
+            pending.append((lo, hi, res))
+
+        retry = []
+        for lo, hi, res in pending:
+            counts, ids_b, scores_b, exact = jax.device_get(res)
             for r, item in enumerate(items[lo:hi]):
                 if exact[r]:
                     self._emit_row(
