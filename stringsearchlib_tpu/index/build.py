@@ -229,7 +229,7 @@ class HostIndex:
         self.host_key_norm_lengths = norm_len.astype(np.int32)
         self._key_hash_cache = None
         self.device = self.device.replace(
-            key_norm_tokens=jnp.asarray(norm.astype(np.int32)),
+            key_norm_tokens=_upload_tokens(norm),
             key_norm_lengths=jnp.asarray(norm_len),
         )
 
@@ -312,6 +312,15 @@ def _key_edge_csr(
     ptr = np.zeros(n_keys + 1, dtype=np.int32)
     np.cumsum(counts, out=ptr[1:])
     return ptr, edge_term[order], edge_weight[order], counts
+
+
+def _upload_tokens(mat: np.ndarray) -> jnp.ndarray:
+    """Device int32 token matrix from host uint8/uint32 rows.
+
+    The transfer ships the narrow dtype (4x fewer bytes for byte strings -
+    host->device bandwidth dominates index build on remote/tunneled
+    backends) and widens to int32 on device."""
+    return jnp.asarray(mat).astype(jnp.int32)
 
 
 def _pad_width(mat: np.ndarray, min_width: int, multiple: int = 8) -> np.ndarray:
@@ -403,9 +412,9 @@ def _build_from_native(nat, words, row_size, weights, config, valid_chars):
     knorm = _pad_width(knorm, 1)
 
     device = DeviceIndex(
-        short_tokens=jnp.asarray(st.astype(np.int32)),
+        short_tokens=_upload_tokens(st),
         short_lengths=jnp.asarray(d["short_lengths"]),
-        long_tokens=jnp.asarray(lt.astype(np.int32)),
+        long_tokens=_upload_tokens(lt),
         long_lengths=jnp.asarray(d["long_lengths"]),
         gram_ptr=jnp.asarray(d["gram_ptr"]),
         gram_terms=jnp.asarray(d["gram_terms"]),
@@ -423,7 +432,7 @@ def _build_from_native(nat, words, row_size, weights, config, valid_chars):
         key_edge_term=jnp.asarray(ke_term),
         key_edge_weight=jnp.asarray(ke_w),
         key_len=jnp.asarray(key_lens.astype(np.int32)),
-        key_norm_tokens=jnp.asarray(knorm.astype(np.int32)),
+        key_norm_tokens=_upload_tokens(knorm),
         key_norm_lengths=jnp.asarray(knorm_len.astype(np.int32)),
     )
     return HostIndex(
@@ -597,9 +606,9 @@ def _build_numpy(
         edge_term, edge_key, edge_weight, n_keys
     )
     device = DeviceIndex(
-        short_tokens=jnp.asarray(st.astype(np.int32)),
+        short_tokens=_upload_tokens(st),
         short_lengths=jnp.asarray(sl.astype(np.int32)),
-        long_tokens=jnp.asarray(lt.astype(np.int32)),
+        long_tokens=_upload_tokens(lt),
         long_lengths=jnp.asarray(ll.astype(np.int32)),
         gram_ptr=jnp.asarray(gram_ptr),
         gram_terms=jnp.asarray(gram_terms),
@@ -617,7 +626,7 @@ def _build_numpy(
         key_edge_term=jnp.asarray(ke_term),
         key_edge_weight=jnp.asarray(ke_w),
         key_len=jnp.asarray(key_lens_raw.astype(np.int32)),
-        key_norm_tokens=jnp.asarray(knorm.astype(np.int32)),
+        key_norm_tokens=_upload_tokens(knorm),
         key_norm_lengths=jnp.asarray(knorm_len.astype(np.int32)),
     )
 

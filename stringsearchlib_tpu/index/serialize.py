@@ -42,6 +42,11 @@ _DEVICE_FIELDS = (
     "key_len", "key_norm_tokens", "key_norm_lengths",
 )
 
+# stored narrow (uint8/uint32), widened to int32 on device at load
+_TOKEN_FIELDS = frozenset(
+    {"short_tokens", "long_tokens", "key_norm_tokens"}
+)
+
 
 def save_index(host: HostIndex, path: Union[str, os.PathLike, io.IOBase]) -> None:
     """Write every array a HostIndex needs to ``path`` (.npz)."""
@@ -65,7 +70,16 @@ def save_index(host: HostIndex, path: Union[str, os.PathLike, io.IOBase]) -> Non
         "host_key_edge_counts": host.host_key_edge_counts,
     }
     for f in _DEVICE_FIELDS:
-        payload["dev_" + f] = np.asarray(getattr(host.device, f))
+        arr = np.asarray(getattr(host.device, f))
+        # token matrices are stored at their narrowest dtype (byte strings
+        # fit uint8); load widens on device.  npy records the dtype, so
+        # files with either width load identically.
+        if f in _TOKEN_FIELDS and arr.size and arr.dtype == np.int32:
+            if arr.max() < 256 and arr.min() >= 0:
+                arr = arr.astype(np.uint8)
+            else:
+                arr = arr.astype(np.uint32)
+        payload["dev_" + f] = arr
     if host.vocab is not None:
         payload["vocab_codepoints"] = host.vocab.codepoints
     np.savez_compressed(path, **payload)
@@ -91,7 +105,14 @@ def load_index(path: Union[str, os.PathLike, io.IOBase]) -> HostIndex:
         tables = textlib.TextTables(valid_chars, wide=cfg.wide)
 
         dev = DeviceIndex(
-            **{f: jnp.asarray(z["dev_" + f]) for f in _DEVICE_FIELDS}
+            **{
+                f: (
+                    jnp.asarray(z["dev_" + f]).astype(jnp.int32)
+                    if f in _TOKEN_FIELDS
+                    else jnp.asarray(z["dev_" + f])
+                )
+                for f in _DEVICE_FIELDS
+            }
         )
         vocab = None
         if "vocab_codepoints" in z.files:
