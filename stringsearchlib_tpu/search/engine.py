@@ -352,6 +352,7 @@ class SearchEngine:
 
     # candidate-path shape defaults (statics)
     CAND_TERMS = 4096
+    CAND_TERMS_FAST = 1024  # first-pass selection width (escalates on guard failure)
     CAND_EDGES = 16384
     PROMO_KEYS = 8
     PROMO_EDGES = 128
@@ -524,12 +525,31 @@ class SearchEngine:
     def _run_candidate_chunks(self, items, threshold, limit, batch_bucket, qp, out):
         """Candidate-sparse batches; returns rows needing a dense retry.
 
+        Escalating selection widths: most rows are exact at a narrow
+        top-C (C = CAND_TERMS_FAST), which keeps the dominant selection
+        top-k cheap; rows whose exactness guard fails re-run at CAND_TERMS
+        and only then fall back to the dense path."""
+        retry, n_used, n_avail = self._cand_pass(
+            items, threshold, limit, batch_bucket, qp, out,
+            self.CAND_TERMS_FAST,
+        )
+        if retry and n_used < min(self.CAND_TERMS, n_avail):
+            retry, _, _ = self._cand_pass(
+                retry, threshold, limit, batch_bucket, qp, out,
+                self.CAND_TERMS,
+            )
+        return retry
+
+    def _cand_pass(self, items, threshold, limit, batch_bucket, qp, out, cand_cap):
+        """One candidate-path sweep at selection width ``cand_cap``.
+
         All rows are prepped once (one shared static s_cap = max posting
         total, one compile); the device batch size is then set so per-batch
         buffers stay inside BATCH_HBM_BUDGET.  Two device front ends
         (search.candidates): MXU matmul hits when the dense gram matrix
-        fits GM_BUDGET, sorted-postings runs otherwise."""
-        from .candidates import candidates_matmul, candidates_runs
+        fits GM_BUDGET, sorted-postings runs otherwise.  Returns
+        (guard-failed rows, n_cand used, selectable lanes)."""
+        from .candidates import _BLK, candidates_matmul, candidates_runs
 
         di = self.host.device
         ts, tl = di.n_short, di.n_long
@@ -565,7 +585,10 @@ class SearchEngine:
                 + (48 * ts if compute_short else 0)
                 + (1 << 16)
             )
-        n_cand = min(self.CAND_TERMS, max(_next_pow2(n_lanes, 16), 16), n_lanes)
+        n_cand = min(cand_cap, max(_next_pow2(n_lanes, 16), 16), n_lanes)
+        # two-phase block-pruned selection only pays off when the lane
+        # space dwarfs the kept blocks (n_cand blocks x 128 lanes)
+        block_sel = n_lanes >= 4 * n_cand * _BLK
         cap = max(int(self.BATCH_HBM_BUDGET // per_q), 8)
         step = 8
         while step * 2 <= min(cap, batch_bucket):
@@ -598,6 +621,7 @@ class SearchEngine:
                     n_edge=n_edge,
                     promo_edges=self.PROMO_EDGES,
                     top_k=top_k,
+                    block_sel=block_sel,
                 )
             else:
                 res = candidates_runs(
@@ -618,6 +642,7 @@ class SearchEngine:
                     n_edge=n_edge,
                     promo_edges=self.PROMO_EDGES,
                     top_k=top_k,
+                    block_sel=block_sel,
                 )
             pending.append((lo, hi, res))
 
@@ -631,4 +656,4 @@ class SearchEngine:
                     )
                 else:
                     retry.append(item)
-        return retry
+        return retry, n_cand, n_lanes

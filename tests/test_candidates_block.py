@@ -1,0 +1,109 @@
+"""Block-pruned candidate selection: exactness and parity.
+
+The two-phase selection (per-128-lane block maxima -> top blocks -> dense
+top-k over surviving lanes) must return the same results as plain top-k
+wherever either marks a row exact, and its coverage must never be weaker
+(a nonempty block holds at least one passing lane, so n_pass <= n_cand
+still implies full coverage)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stringsearchlib_tpu.config import IndexConfig
+from stringsearchlib_tpu.index.build import build_index
+from stringsearchlib_tpu.search.candidates import candidates_matmul
+from stringsearchlib_tpu.search.engine import SearchEngine
+
+
+def _corpus(n, seed=7):
+    rng = np.random.default_rng(seed)
+    alpha = list("ABCDEFGHIJ")
+    return [
+        "".join(rng.choice(alpha, size=rng.integers(6, 18)))
+        for _ in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def big_engine():
+    words = _corpus(9216)
+    host = build_index(words, 1, None, IndexConfig())
+    return SearchEngine(host), words
+
+
+def _kernel_inputs(engine, queries, limit):
+    host = engine.host
+    items = []
+    for q in queries:
+        qnorm, qlen = engine._normalize_query(q)
+        items.append((0, qnorm, qlen, host.promo_key_ids(qnorm, qlen)))
+    b, qtok, qlens, slots, nqg, use_short, s_cap = engine._prep_rows(items, 32)
+    promo = np.full((b, engine.PROMO_KEYS), -1, dtype=np.int32)
+    for r, it in enumerate(items):
+        promo[r, : it[3].size] = it[3]
+    lim = np.full((b,), limit, dtype=np.int32)
+    return (
+        jnp.asarray(qtok), jnp.asarray(qlens), jnp.asarray(slots),
+        jnp.asarray(nqg), jnp.asarray(use_short), jnp.asarray(promo), lim,
+        bool(use_short.any()),
+    )
+
+
+def test_block_selection_matches_plain_topk(big_engine):
+    engine, words = big_engine
+    host = engine.host
+    queries = [w[:8] for w in words[:24]]
+    qtok, qlens, slots, nqg, us, promo, lim, cs = _kernel_inputs(
+        engine, queries, 10
+    )
+    gm = host.gram_matrix(engine.GM_BUDGET)
+    assert gm is not None
+    pt, xt = host.prim_tables()
+
+    def run(block_sel, n_cand):
+        return [
+            np.asarray(a)
+            for a in candidates_matmul(
+                host.device, gm, pt, xt, qtok, qlens, slots, nqg, us,
+                promo, lim, np.float32(0.3), compute_short=cs,
+                n_cand=n_cand, n_edge=16, promo_edges=engine.PROMO_EDGES,
+                top_k=16, block_sel=block_sel,
+            )
+        ]
+
+    for n_cand in (16, 64):
+        cnt_p, ids_p, sc_p, ex_p = run(False, n_cand)
+        cnt_b, ids_b, sc_b, ex_b = run(True, n_cand)
+        # block coverage is never weaker than plain top-k coverage
+        assert (ex_b | ~ex_p).all(), (n_cand, ex_p, ex_b)
+        both = ex_p & ex_b
+        assert both.any()
+        np.testing.assert_array_equal(cnt_p[both], cnt_b[both])
+        np.testing.assert_array_equal(ids_p[both], ids_b[both])
+        np.testing.assert_allclose(sc_p[both], sc_b[both], rtol=0, atol=0)
+
+
+def test_engine_escalation_parity_with_dense(big_engine):
+    """Tiny first-pass width forces guard failures; escalation + dense
+    retry must still return exactly the dense path's results."""
+    engine, words = big_engine
+    rng = np.random.default_rng(11)
+    queries = [w[: rng.integers(6, 10)] for w in words[:40]]
+
+    old_fast, old_full = engine.CAND_TERMS_FAST, engine.CAND_TERMS
+    try:
+        engine.CAND_TERMS_FAST = 16
+        engine.CAND_TERMS = 64
+        cand = engine.search_batch(queries, 0.2, 10, mode="candidates")
+    finally:
+        engine.CAND_TERMS_FAST = old_fast
+        engine.CAND_TERMS = old_full
+    dense = engine.search_batch(queries, 0.2, 10, mode="dense")
+    for i, ((ka, sa), (kb, sb)) in enumerate(zip(cand, dense)):
+        ga = sorted((round(s, 5), len(k)) for k, s in zip(ka, sa))
+        gb = sorted((round(s, 5), len(k)) for k, s in zip(kb, sb))
+        assert ga == gb, (i, queries[i], ka, kb)
