@@ -291,19 +291,18 @@ def candidates_matmul_impl(
         .add(1, mode="drop")
     )(qslots)
     # one MXU pass for the whole batch; int8 x int8 -> int32 is exact and
-    # runs at double rate on v5e.  Hit counts are <= n_qgrams <= ~30, so
-    # the (B, Tl) matrix narrows to int8 - 4x less HBM traffic into the
-    # selection pass, which is bandwidth-bound at millions of terms.
+    # runs at double rate on v5e.  (Narrowing hits to int8 was measured
+    # SLOWER at 1M keys - 1300 -> 1050 qps - the f32 re-expansion in each
+    # consumer costs more than the saved HBM traffic.)
     hits = jnp.dot(
         qcnt, gram_matrix, preferred_element_type=jnp.int32
-    ).astype(jnp.int8)
+    ).astype(jnp.float32)
 
     def one(args):
-        qtok, qlen, hrow8, nqg, us, promo, limit = args
+        qtok, qlen, hrow, nqg, us, promo, limit = args
         qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
         nqg_f = jnp.maximum(nqg.astype(jnp.float32), 1.0)
 
-        hrow = hrow8.astype(jnp.float32)
         s_long = hrow / nqg_f
         pass_long = (hrow > 0) & (nqg > 0) & (s_long >= threshold)
         n_pass = jnp.sum(pass_long.astype(jnp.int32))
