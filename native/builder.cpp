@@ -181,6 +181,14 @@ PyObject* build_narrow(PyObject* /*self*/, PyObject* args) {
       *n = PyBytes_GET_SIZE(o);
       return 1;
     }
+    if (!PyUnicode_Check(o)) {
+      // stringify any other type, matching the numpy builder's str(s)
+      // (encode_batch) so both paths accept identical inputs
+      PyObject* s = PyObject_Str(o);
+      if (!s) return -1;
+      byte_refs.push_back(s);
+      o = s;
+    }
     if (PyUnicode_Check(o)) {
       // compact 1-byte unicode IS latin-1: read in place, no allocation
       if (PyUnicode_READY(o) == 0 && PyUnicode_KIND(o) == PyUnicode_1BYTE_KIND) {

@@ -234,8 +234,13 @@ def _finish_candidates(
     # -- exactness ---------------------------------------------------------
     lim_idx = jnp.clip(limit - 1, 0, neg.shape[0] - 1)
     sigma_l = -neg_sorted[lim_idx]  # limit-th best valid score
+    # clamp the guard bound to the entryScore floor: a missed key whose only
+    # edge has negative weight still lands at score 0 (nGramSearch.hpp:326),
+    # so it can enter the top-limit via the length tie-break whenever
+    # sigma_l == 0 even though u_c < 0
     exact = (~overflow) & (
-        covered | ((reached_total >= limit) & (sigma_l > u_c))
+        covered
+        | ((reached_total >= limit) & (sigma_l > jnp.maximum(u_c, 0.0)))
     )
     count = jnp.where(
         covered, reached_total, jnp.minimum(reached_total, limit)
@@ -285,8 +290,12 @@ def candidates_matmul_impl(
     g = gram_matrix.shape[0]
     # query gram multiplicities built on device from the (tiny) slot matrix
     # (host->device bytes matter: B x G floats would dwarf the batch).
+    # int8 accumulation is exact only while a gram's multiplicity fits 127,
+    # i.e. qmax <= 127 slots; wider query buckets accumulate in int32 (the
+    # matmul stays integer-exact, just off the double-rate int8 path).
+    cnt_dtype = jnp.int8 if qslots.shape[1] <= 127 else jnp.int32
     qcnt = jax.vmap(
-        lambda row: jnp.zeros((g,), jnp.int8)
+        lambda row: jnp.zeros((g,), cnt_dtype)
         .at[jnp.where(row >= 0, row, g)]
         .add(1, mode="drop")
     )(qslots)

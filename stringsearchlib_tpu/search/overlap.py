@@ -11,8 +11,9 @@ statically-bounded id vector, then accumulated with a scatter-add.  The
 static bound ``s_cap`` is chosen host-side from the exact posting lengths of
 the query's grams, bucketed to limit recompiles.
 
-A Pallas kernel replaces the scatter for the production path (ops/); this
-module is the reference XLA implementation and the fallback.
+This XLA scatter IS the production dense-path implementation.  The large
+batched paths avoid it entirely (search.candidates uses an MXU matmul or
+sorted-run counting; both beat scatter-adds by 20-40x on v5e).
 """
 
 from __future__ import annotations

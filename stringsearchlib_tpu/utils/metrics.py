@@ -62,30 +62,38 @@ class QueryMetrics:
     """Rolling query latency/throughput counters.
 
     A bounded reservoir of per-query wall latencies; percentile reads are
-    O(window).  Thread-safe enough for CPython (append is atomic)."""
+    O(window).  Counter updates take a lock (the registry explicitly
+    supports concurrent readers, and ``count += n`` is not atomic)."""
 
     def __init__(self, window: int = 4096):
+        import threading
+
+        self._lock = threading.Lock()
         self._lat = collections.deque(maxlen=window)
         self.count = 0
         self.batched_queries = 0
         self._t_start = time.perf_counter()
 
     def record(self, seconds: float, queries: int = 1) -> None:
-        self.count += queries
-        if queries > 1:
-            self.batched_queries += queries
-            per = seconds / queries
-            for _ in range(min(queries, 64)):  # cap reservoir writes per batch
-                self._lat.append(per)
-        else:
-            self._lat.append(seconds)
+        with self._lock:
+            self.count += queries
+            if queries > 1:
+                self.batched_queries += queries
+                per = seconds / queries
+                # cap reservoir writes per batch
+                for _ in range(min(queries, 64)):
+                    self._lat.append(per)
+            else:
+                self._lat.append(seconds)
 
     def snapshot(self) -> dict:
-        lat = np.array(self._lat, dtype=np.float64)
+        with self._lock:
+            lat = np.array(self._lat, dtype=np.float64)
+            count = self.count
         elapsed = max(time.perf_counter() - self._t_start, 1e-9)
         out = {
-            "queries": self.count,
-            "queries_per_sec": self.count / elapsed,
+            "queries": count,
+            "queries_per_sec": count / elapsed,
             "window": int(lat.size),
         }
         if lat.size:
@@ -95,10 +103,11 @@ class QueryMetrics:
         return out
 
     def reset(self) -> None:
-        self._lat.clear()
-        self.count = 0
-        self.batched_queries = 0
-        self._t_start = time.perf_counter()
+        with self._lock:
+            self._lat.clear()
+            self.count = 0
+            self.batched_queries = 0
+            self._t_start = time.perf_counter()
 
 
 @contextlib.contextmanager

@@ -101,3 +101,13 @@ def test_property_native(seed):
         base = rng.choice([w for w in words if w] or ["x"])
         queries.append(base[: rng.randint(1, max(len(base), 1))])
     _compare(words, row_size=row_size, weights=weights, queries=queries)
+
+
+def test_non_string_elements_native():
+    """Both builders stringify non-str/bytes elements identically (the
+    numpy path uses str(s); the native path must not diverge by raising)."""
+    _compare(
+        ["Widget 7", 1234, 56.5, True, "gadget"],
+        row_size=1,
+        queries=["1234", "56.5", "widget", "True"],
+    )
