@@ -163,6 +163,65 @@ class HostIndex:
         self._gram_matrix_cache = gm
         return gm
 
+    _sketch_cache: object = dataclasses.field(default=None, repr=False)
+
+    def sketch_tables(self, budget_bytes: int = 6 << 30, max_tgw: int = 128):
+        """Sketch-path tables (search.sketch): hashed-bucket incidence
+        ``inc`` (D, Tl_pad) int8, term->gram table ``tg`` (Tl_pad, TGW)
+        int32, padded per-term weight bound (Tl_pad,) f32, and d_log2 -
+        or None when the long tier is too small/wide for the path.
+
+        Built ON DEVICE from the resident token matrix for narrow g<=3
+        (host->device upload dominates index build through remote
+        backends); numpy + upload otherwise.  Cached per index."""
+        if self._sketch_cache is not None:
+            sk = self._sketch_cache
+            return None if sk is False else sk
+        from ..search import sketch as sketchlib
+
+        d = self.device
+        tl = int(d.long_lengths.shape[0])
+        g = self.config.gram_size
+        tgw = int(d.long_tokens.shape[1]) - g + 1
+        if tl == 0 or self.n_grams == 0 or tgw < 1 or tgw > max_tgw:
+            self._sketch_cache = False
+            return None
+        tile = sketchlib._TILE
+        tl_pad = -(-tl // tile) * tile
+        d_log2 = 10
+        while d_log2 > 7 and (1 << d_log2) * tl_pad > budget_bytes:
+            d_log2 -= 1
+        if (1 << d_log2) * tl_pad > budget_bytes:
+            self._sketch_cache = False
+            return None
+
+        if not self.config.wide and g <= 3:
+            inc, tg = sketchlib.build_sketch_device(
+                d.long_tokens,
+                d.long_lengths,
+                jnp.asarray(self.gram_ids.astype(np.int32)),
+                gram_size=g,
+                d_log2=d_log2,
+                tl_pad=tl_pad,
+                tgw=tgw,
+            )
+        else:
+            inc, tg = sketchlib.build_sketch_host(
+                np.asarray(d.long_tokens),
+                np.asarray(d.long_lengths),
+                self.lookup_gram_slots,
+                g,
+                self.config.wide,
+                self.vocab,
+                d_log2,
+                tl_pad,
+                tgw,
+            )
+        ts = int(d.short_lengths.shape[0])
+        wmax_pad = jnp.pad(d.term_wmax[ts:], (0, tl_pad - tl))
+        self._sketch_cache = (inc, tg, wmax_pad, d_log2)
+        return self._sketch_cache
+
     _prim_table_cache: object = None
 
     def prim_tables(self):

@@ -111,6 +111,33 @@ def _finish_candidates(
     ``u_all``/``s_all``/``gid_all``: parallel lane vectors (passing lanes
     carry u = wmax * s, others -inf).  ``term_score(p_t) -> (p_s, p_pass)``
     evaluates arbitrary global term ids for the promotion keys' edges.
+    """
+    ub, sel, u_c, covered = _select_candidates(
+        u_all, n_pass, n_cand=n_cand, block_sel=block_sel
+    )
+    sel_valid = ub > _NEG_INF
+    sel_c = jnp.clip(sel, 0, gid_all.shape[0] - 1)
+    t_sel = gid_all[sel_c]
+    s_sel = s_all[sel_c]
+    return _finish_selected(
+        di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score,
+        promo, limit, threshold, n_edge=n_edge, promo_edges=promo_edges,
+        top_k=top_k,
+    )
+
+
+def _finish_selected(
+    di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score, promo,
+    limit, threshold, *, n_edge, promo_edges, top_k,
+):
+    """Back half shared by every candidate front end: from selected
+    (term id, exact score, validity) triples plus selection bounds to the
+    final ranked slice.
+
+    ``u_c`` is a sound upper bound on the weighted score of every
+    UNselected term (-inf when selection covered all passers); ``covered``
+    asserts that coverage.  ``term_score(p_t) -> (p_s, p_pass)`` evaluates
+    arbitrary global term ids for the promotion keys' edges.
 
     Edge handling uses the primary-edge decomposition: each candidate's
     first edge is ONE 4-wide record gather from ``pt`` ([key, weight bits,
@@ -122,19 +149,11 @@ def _finish_candidates(
     """
     ts, tl = di.n_short, di.n_long
     t_total = ts + tl
+    n_cand = t_sel.shape[0]
     k_total = di.key_len.shape[0]
     x_total = max(di.extra_key.shape[0], 1)
     e_total = max(di.key_edge_term.shape[0], 1)
     cutoff = np.float32(PERFECT_SCORE_CUTOFF)
-
-    # -- top-C candidate selection over lanes -----------------------------
-    ub, sel, u_c, covered = _select_candidates(
-        u_all, n_pass, n_cand=n_cand, block_sel=block_sel
-    )
-    sel_valid = ub > _NEG_INF
-    sel_c = jnp.clip(sel, 0, gid_all.shape[0] - 1)
-    t_sel = gid_all[sel_c]
-    s_sel = s_all[sel_c]
 
     # sort candidates by term id before the table gathers: sorted indices
     # make the DMA access pattern near-sequential (downstream order is

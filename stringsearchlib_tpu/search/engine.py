@@ -521,6 +521,12 @@ class SearchEngine:
     # HBM budget for the dense gram->term incidence matrix (MXU hits path;
     # int8, so bytes == G * Tl)
     GM_BUDGET = 4 << 30
+    # HBM budget for the bucket-sketch incidence (search.sketch); D shrinks
+    # to fit, floor 128 buckets
+    SKETCH_BUDGET = 6 << 30
+    SKETCH_MIN_TERMS = 200_000  # below this the runs path is already fast
+    SK_KSB = 256  # superblocks kept per query (first pass)
+    SK_KB = 512  # blocks kept per query (first pass)
 
     def _run_candidate_chunks(self, items, threshold, limit, batch_bucket, qp, out):
         """Candidate-sparse batches; returns rows needing a dense retry.
@@ -545,11 +551,14 @@ class SearchEngine:
 
         All rows are prepped once (one shared static s_cap = max posting
         total, one compile); the device batch size is then set so per-batch
-        buffers stay inside BATCH_HBM_BUDGET.  Two device front ends
-        (search.candidates): MXU matmul hits when the dense gram matrix
-        fits GM_BUDGET, sorted-postings runs otherwise.  Returns
-        (guard-failed rows, n_cand used, selectable lanes)."""
+        buffers stay inside BATCH_HBM_BUDGET.  Three device front ends:
+        MXU matmul hits when the dense gram matrix fits GM_BUDGET
+        (search.candidates), the bucket-sketch matmul + exact rescore when
+        the long tier is huge (search.sketch), sorted-postings runs
+        otherwise.  Returns (guard-failed rows, n_cand used, selectable
+        lanes)."""
         from .candidates import _BLK, candidates_matmul, candidates_runs
+        from .sketch import candidates_sketch
 
         di = self.host.device
         ts, tl = di.n_short, di.n_long
@@ -573,10 +582,22 @@ class SearchEngine:
             promo_all[r, : pids.size] = pids
 
         gm = self.host.gram_matrix(self.GM_BUDGET)
+        sk = None
+        if gm is None and self.host.n_terms >= self.SKETCH_MIN_TERMS:
+            sk = self.host.sketch_tables(self.SKETCH_BUDGET)
         pt, xt = self.host.prim_tables()
         if gm is not None:
             n_lanes = (ts if compute_short else 0) + tl
             per_q = 48 * (ts + tl) + 24 * n_edge + (1 << 16)
+        elif sk is not None:
+            tlp = int(sk[0].shape[1])
+            n_lanes = (ts if compute_short else 0) + tl
+            per_q = (
+                3 * tlp
+                + 24 * n_edge
+                + (48 * ts if compute_short else 0)
+                + (1 << 16)
+            )
         else:
             n_lanes = (ts if compute_short else 0) + s_cap
             per_q = (
@@ -622,6 +643,38 @@ class SearchEngine:
                     promo_edges=self.PROMO_EDGES,
                     top_k=top_k,
                     block_sel=block_sel,
+                )
+            elif sk is not None:
+                inc, tg, wmax_pad, d_log2 = sk
+                sb = max(inc.shape[1] // (128 * 128), 1)
+                scale = max(cand_cap // self.CAND_TERMS_FAST, 1)
+                ksb = min(self.SK_KSB * scale, sb)
+                kb = min(self.SK_KB * scale, ksb * 128)
+                res = candidates_sketch(
+                    di,
+                    inc,
+                    tg,
+                    wmax_pad,
+                    pt,
+                    xt,
+                    jnp.asarray(qtok[sl]),
+                    jnp.asarray(qlens[sl]),
+                    jnp.asarray(slots[sl]),
+                    jnp.asarray(nqg[sl]),
+                    jnp.asarray(use_short[sl]),
+                    jnp.asarray(promo_all[sl]),
+                    lim_arr,
+                    np.float32(threshold),
+                    d_log2=d_log2,
+                    compute_short=compute_short,
+                    n_cand=min(n_cand, kb * 128),
+                    n_short_cand=min(max(_next_pow2(min(ts, 512), 16), 16),
+                                     max(ts, 1)),
+                    ksb=ksb,
+                    kb=kb,
+                    n_edge=n_edge,
+                    promo_edges=self.PROMO_EDGES,
+                    top_k=top_k,
                 )
             else:
                 res = candidates_runs(

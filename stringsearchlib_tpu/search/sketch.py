@@ -1,0 +1,373 @@
+"""Sketch-matmul candidate search for huge long tiers.
+
+The MXU matmul front end (search.candidates.candidates_matmul) needs the
+dense (G, Tl) gram->term incidence resident in HBM; at 10M keys with a
+gram-rich corpus that is G * Tl ~ 500 GB - two orders of magnitude over
+HBM - and the sorted-runs path collapses under posting skew (one stop-gram
+query blows the per-query lane cap into the millions).  This front end keeps
+the MXU shape of the hot loop (the reference's posting accumulation,
+nGramSearch.hpp:289-298) but shrinks the contraction axis from G grams to
+D = 2^k hashed *buckets*:
+
+  inc[d, t] = 1  iff term t has >= 1 distinct gram hashing to bucket d
+  hits_h    = qcnt_h (B, D) @ inc (D, Tl)        one int8 MXU pass
+
+``hits_h`` OVER-counts: every true hit lands in a counted bucket, and
+collisions only add.  So ``u = wmax * hits_h / nqg`` is a sound upper bound
+on every term's true weighted score, which is exactly what candidate
+selection and the exactness guard consume (search.candidates).  Selected
+candidates are then re-scored EXACTLY from the term->gram table ``tg``
+((Tl, TGW) dense gram slots per term, deduped - posting-set semantics of
+nGramSearch.h:296): true hits = sum over the query's gram slots (with
+multiplicity, nGramSearch.hpp:289-297) of membership in the term's slot row,
+one fused VPU compare-reduce, no gathers into the CSR.  False sketch
+passes re-score below threshold and drop out; results are bit-identical to
+the dense path whenever the guard passes, and the host falls back otherwise
+(escalating widths -> runs/dense, same ladder as the other front ends).
+
+Selection is hierarchical (128-lane block maxima -> 128-block superblock
+maxima -> top-k down the levels): a flat top_k over 10M lanes is the
+dominant cost at this scale, while each level's k-th kept maximum is a
+sound bound on everything it discards, so the guard survives pruning.
+
+HBM cost: inc is D * Tl_pad int8 (5 GB at D=512, Tl=10M) and tg is
+TGW * Tl_pad int32 - both built ON DEVICE from the already-resident token
+matrix (host->device upload is the index-build bottleneck through remote
+backends).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .candidates import _finish_selected, _short_tier
+
+_NEG_INF = np.float32(-np.inf)
+
+# Knuth multiplicative hash constant (2^32 / phi); buckets are the top k
+# bits of the 32-bit product so neighbouring slots scatter.
+_HASH_MULT = np.uint32(2654435761)
+
+_BLK = 128  # selection block width (one vector register row)
+_SUPER = 128  # blocks per superblock
+_TILE = _BLK * _SUPER  # term padding quantum (16384)
+
+
+def bucket_of(slots: jnp.ndarray, d_log2: int) -> jnp.ndarray:
+    """Gram slot -> bucket in [0, 2^d_log2); negative slots -> -1."""
+    h = (slots.astype(jnp.uint32) * _HASH_MULT) >> np.uint32(32 - d_log2)
+    return jnp.where(slots >= 0, h.astype(jnp.int32), -1)
+
+
+def bucket_of_np(slots: np.ndarray, d_log2: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = (slots.astype(np.uint32) * _HASH_MULT) >> np.uint32(32 - d_log2)
+    return np.where(slots >= 0, h.astype(np.int32), -1)
+
+
+# ---------------------------------------------------------------------------
+# sketch table construction
+# ---------------------------------------------------------------------------
+
+
+def _pack_windows(tokens32: jnp.ndarray, gram_size: int) -> jnp.ndarray:
+    """(Tl, W) int32 codepoints -> (Tl, W-g+1) int32 packed gram ids
+    (byte fields, first char highest - gramHash order, nGramSearch.h:147).
+    Narrow-only: g<=3 keeps the pack inside 24 bits."""
+    w = tokens32.shape[1] - gram_size + 1
+    out = jnp.zeros(tokens32[:, :w].shape, jnp.int32)
+    for k in range(gram_size):
+        out = (out << 8) | tokens32[:, k : k + w]
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gram_size", "d_log2", "tl_pad", "tgw")
+)
+def build_sketch_device(
+    long_tokens,  # (Tl, W) integer tokens (any int dtype)
+    long_lengths,  # (Tl,) int32
+    gram_ids32,  # (G,) int32 sorted distinct packed gram ids
+    *,
+    gram_size: int,
+    d_log2: int,
+    tl_pad: int,
+    tgw: int,
+):
+    """On-device sketch tables for the narrow g<=3 case.
+
+    Returns (inc (D, tl_pad) int8, tg (tl_pad, tgw) int32).  ``tg`` rows are
+    each term's DISTINCT gram slots sorted ascending, -1 padded (set
+    semantics; duplicates within a term collapse, nGramSearch.hpp:19).
+    Padded terms are all -1 / zero incidence and can never pass.
+    """
+    tl = long_tokens.shape[0]
+    g_total = gram_ids32.shape[0]
+    d = 1 << d_log2
+
+    packed = _pack_windows(long_tokens.astype(jnp.int32), gram_size)
+    pos = jax.lax.broadcasted_iota(jnp.int32, packed.shape, 1)
+    valid = pos < (long_lengths[:, None] - np.int32(gram_size - 1))
+    # gram id -> dense slot (every valid window of an indexed term is in the
+    # distinct-gram table by construction; the check only guards padding)
+    idx = jnp.searchsorted(gram_ids32, packed).astype(jnp.int32)
+    idx_c = jnp.minimum(idx, max(g_total - 1, 0))
+    hit = valid & (gram_ids32[idx_c] == packed) if g_total else jnp.zeros_like(valid)
+    big = np.int32(2**30)
+    slot = jnp.where(hit, idx_c, big)
+
+    # per-row dedup: sort ascending, invalidate equal neighbours
+    slot_s = jnp.sort(slot, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((tl, 1), bool), slot_s[:, 1:] == slot_s[:, :-1]], axis=1
+    )
+    tg = jnp.where(dup | (slot_s >= big), -1, slot_s)
+    if tg.shape[1] < tgw:
+        tg = jnp.pad(tg, ((0, 0), (0, tgw - tg.shape[1])), constant_values=-1)
+    tg = jnp.pad(tg[:, :tgw], ((0, tl_pad - tl), (0, 0)), constant_values=-1)
+
+    # bucket bitmask (Tl_pad, D/32) uint32, then expand to (D, Tl_pad) int8
+    buckets = bucket_of(tg, d_log2)  # (tl_pad, tgw), -1 invalid
+    n_words = max(d // 32, 1)
+    word_ids = jnp.arange(n_words, dtype=jnp.int32)
+    mask = jnp.zeros((tl_pad, n_words), jnp.uint32)
+    for j in range(buckets.shape[1]):
+        b = buckets[:, j]
+        w = b >> 5
+        bit = (jnp.uint32(1) << (b & 31).astype(jnp.uint32))
+        contrib = jnp.where(
+            (b[:, None] >= 0) & (w[:, None] == word_ids[None, :]),
+            bit[:, None],
+            jnp.uint32(0),
+        )
+        mask = mask | contrib
+
+    words_t = mask.T  # (n_words, tl_pad)
+    d_idx = jnp.arange(d, dtype=jnp.int32)
+    inc = (
+        (words_t[d_idx >> 5, :] >> (d_idx & 31).astype(jnp.uint32)[:, None])
+        & jnp.uint32(1)
+    ).astype(jnp.int8)
+    return inc, tg
+
+
+def build_sketch_host(
+    long_tokens: np.ndarray,
+    long_lengths: np.ndarray,
+    lookup_gram_slots,
+    gram_size: int,
+    wide: bool,
+    vocab,
+    d_log2: int,
+    tl_pad: int,
+    tgw: int,
+):
+    """Numpy sketch build (wide strings / g=4, where the device pack does
+    not apply).  Same outputs as build_sketch_device."""
+    from ..core import grams as gramlib
+
+    tl = long_tokens.shape[0]
+    d = 1 << d_log2
+    gids, gvalid = gramlib.gram_ids(
+        long_tokens, long_lengths, gram_size, wide, vocab
+    )
+    slots = lookup_gram_slots(gids.ravel()).reshape(gids.shape)
+    slots = np.where(gvalid & (slots >= 0), slots, 2**30)
+    slots_s = np.sort(slots, axis=1)
+    dup = np.zeros(slots_s.shape, bool)
+    dup[:, 1:] = slots_s[:, 1:] == slots_s[:, :-1]
+    tg = np.where(dup | (slots_s >= 2**30), -1, slots_s).astype(np.int32)
+    if tg.shape[1] < tgw:
+        tg = np.pad(tg, ((0, 0), (0, tgw - tg.shape[1])), constant_values=-1)
+    tg = np.pad(tg[:, :tgw], ((0, tl_pad - tl), (0, 0)), constant_values=-1)
+
+    buckets = bucket_of_np(tg, d_log2)
+    inc = np.zeros((d, tl_pad), np.int8)
+    t_ids = np.broadcast_to(np.arange(tl_pad)[:, None], buckets.shape)
+    sel = buckets >= 0
+    inc[buckets[sel], t_ids[sel]] = 1
+    return jnp.asarray(inc), jnp.asarray(tg)
+
+
+# ---------------------------------------------------------------------------
+# search front end
+# ---------------------------------------------------------------------------
+
+
+def _rescore_rows(tg_rows, qslots, nqg_f, threshold, row_valid):
+    """Exact long-tier scores for gathered tg rows.
+
+    tg_rows (N, TGW) int32 distinct gram slots (-1 pad); qslots (Qmax,)
+    int32 query gram slots with multiplicity (-1 absent).  True hits =
+    number of query windows whose slot appears in the term's row - the
+    reference's searchLong accumulation (nGramSearch.hpp:289-298) with the
+    posting-set dedup already folded into ``tg``.
+    """
+    eq = (tg_rows[:, :, None] == qslots[None, None, :]) & (
+        tg_rows[:, :, None] >= 0
+    )
+    hits = jnp.sum(eq.astype(jnp.int32), axis=(1, 2))
+    s = hits.astype(jnp.float32) / nqg_f
+    p = row_valid & (hits > 0) & (s >= threshold)
+    return s, p
+
+
+def candidates_sketch_impl(
+    di,
+    inc,  # (D, Tlp) int8 bucket incidence
+    tg,  # (Tlp, TGW) int32 distinct gram slots per term
+    wmax_pad,  # (Tlp,) f32 per-long-term max edge weight (0 padded)
+    pt,  # (T, 4) int32 primary-edge records
+    xt,  # (X, 4) int32 extra-edge records
+    qtokens,  # (B, Qp) int32
+    qlens,  # (B,) int32
+    qslots,  # (B, Qmax) int32 gram slots, -1 absent, multiplicity kept
+    n_qgrams,  # (B,) int32
+    use_short,  # (B,) bool
+    promo_ids,  # (B, PK) int32, -1 padded
+    limits,  # (B,) int32
+    threshold,  # () f32
+    *,
+    d_log2: int,
+    compute_short: bool,
+    n_cand: int,
+    n_short_cand: int,
+    ksb: int,
+    kb: int,
+    n_edge: int,
+    promo_edges: int,
+    top_k: int,
+):
+    ts, tl = di.n_short, di.n_long
+    compute_short = compute_short and ts > 0
+    tlp = inc.shape[1]
+    nb = tlp // _BLK
+    sb = nb // _SUPER
+    d = 1 << d_log2
+
+    # query bucket multiplicities, built on device from the slot matrix
+    qb = bucket_of(qslots, d_log2)
+    cnt_dtype = jnp.int8 if qslots.shape[1] <= 127 else jnp.int32
+    qcnt = jax.vmap(
+        lambda row: jnp.zeros((d,), cnt_dtype)
+        .at[jnp.where(row >= 0, row, d)]
+        .add(1, mode="drop")
+    )(qb)
+
+    # one MXU pass: upper-bound hit counts for every long term
+    hits8 = jax.lax.dot_general(
+        qcnt, inc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(cnt_dtype)
+
+    nqg_f = jnp.maximum(n_qgrams.astype(jnp.float32), 1.0)
+    s_h = hits8.astype(jnp.float32) / nqg_f[:, None]
+    pass_h = (hits8 > 0) & (n_qgrams[:, None] > 0) & (s_h >= threshold)
+    u_h = jnp.where(pass_h, wmax_pad[None, :] * s_h, _NEG_INF)
+    blockmax = u_h.reshape(-1, nb, _BLK).max(axis=2)  # (B, NB)
+
+    def one(args):
+        (qtok, qlen, slots, nqg, us, promo, limit,
+         h_row, bm_row) = args
+        qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
+        nq_f = jnp.maximum(nqg.astype(jnp.float32), 1.0)
+
+        # -- hierarchical block selection over the long tier ---------------
+        sbmax = bm_row.reshape(sb, _SUPER).max(axis=1)
+        sbv, sbi = jax.lax.top_k(sbmax, ksb)
+        sb_n = jnp.sum((sbmax > _NEG_INF).astype(jnp.int32))
+        sb_cov = sb_n <= ksb
+        u_sb = jnp.where(sb_cov, _NEG_INF, sbv[-1])
+
+        bm_g = bm_row.reshape(sb, _SUPER)[sbi].reshape(-1)  # (ksb*SUPER,)
+        bv, bloc = jax.lax.top_k(bm_g, kb)
+        blk = sbi[bloc // _SUPER] * _SUPER + (bloc % _SUPER)  # global blocks
+        blk_n = jnp.sum((bm_g > _NEG_INF).astype(jnp.int32))
+        blk_cov = blk_n <= kb
+        u_blk = jnp.where(blk_cov, _NEG_INF, bv[-1])
+
+        h_blk = h_row.reshape(nb, _BLK)[blk]  # (kb, BLK)
+        w_blk = wmax_pad.reshape(nb, _BLK)[blk]
+        s_blk = h_blk.astype(jnp.float32) / nq_f
+        p_blk = (h_blk > 0) & (nqg > 0) & (s_blk >= threshold)
+        # blocks below the selection never contribute; mask by block validity
+        p_blk = p_blk & (bv > _NEG_INF)[:, None]
+        u2 = jnp.where(p_blk, w_blk * s_blk, _NEG_INF).reshape(-1)
+        uv, li = jax.lax.top_k(u2, n_cand)
+        lane = blk[li // _BLK] * _BLK + (li % _BLK)  # long-term local ids
+        lane_n = jnp.sum((u2 > _NEG_INF).astype(jnp.int32))
+        lane_cov = lane_n <= n_cand
+        u_lane = jnp.where(lane_cov, _NEG_INF, uv[-1])
+
+        sel_sketch = uv > _NEG_INF
+        u_c_long = jnp.maximum(jnp.maximum(u_sb, u_blk), u_lane)
+        long_cov = sb_cov & blk_cov & lane_cov
+
+        # -- exact rescoring of the selected lanes --------------------------
+        lane_c = jnp.clip(lane, 0, tlp - 1)
+        tg_rows = tg[lane_c]
+        s_long, p_long = _rescore_rows(
+            tg_rows, slots, nq_f, threshold, sel_sketch
+        )
+        t_long = ts + jnp.clip(lane, 0, max(tl - 1, 0))
+
+        def long_score(p_t):
+            flat = p_t.reshape(-1)
+            rows = tg[jnp.clip(flat - ts, 0, tlp - 1)]
+            s, p = _rescore_rows(
+                rows, slots, nq_f, threshold, flat >= ts
+            )
+            return s.reshape(p_t.shape), p.reshape(p_t.shape)
+
+        # -- short tier: exact dense DP + its own top-k ---------------------
+        if compute_short:
+            s_short, pass_short, u_short = _short_tier(
+                di, qtok, qlen, us, threshold, qlen_f
+            )
+            usv, usel = jax.lax.top_k(u_short, n_short_cand)
+            s_n = jnp.sum((u_short > _NEG_INF).astype(jnp.int32))
+            s_cov = s_n <= n_short_cand
+            u_c_short = jnp.where(s_cov, _NEG_INF, usv[-1])
+            t_sel = jnp.concatenate([usel, t_long])
+            s_sel = jnp.concatenate([s_short[usel], s_long])
+            sel_valid = jnp.concatenate([usv > _NEG_INF, p_long])
+            u_c = jnp.maximum(u_c_long, u_c_short)
+            covered = long_cov & s_cov
+
+            def term_score(p_t):
+                p_sh = p_t < ts
+                p_ss = s_short[jnp.clip(p_t, 0, max(ts - 1, 0))]
+                p_ps = pass_short[jnp.clip(p_t, 0, max(ts - 1, 0))]
+                p_sl, p_pl = long_score(p_t)
+                return (
+                    jnp.where(p_sh, p_ss, p_sl),
+                    jnp.where(p_sh, p_ps, p_pl),
+                )
+        else:
+            t_sel, s_sel, sel_valid = t_long, s_long, p_long
+            u_c, covered = u_c_long, long_cov
+            term_score = long_score
+
+        return _finish_selected(
+            di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score,
+            promo, limit, threshold, n_edge=n_edge,
+            promo_edges=promo_edges, top_k=top_k,
+        )
+
+    return jax.vmap(one)(
+        (qtokens, qlens, qslots, n_qgrams, use_short, promo_ids, limits,
+         hits8, blockmax)
+    )
+
+
+candidates_sketch = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "d_log2", "compute_short", "n_cand", "n_short_cand", "ksb", "kb",
+        "n_edge", "promo_edges", "top_k",
+    ),
+)(candidates_sketch_impl)
