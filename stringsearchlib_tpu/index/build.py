@@ -409,6 +409,21 @@ def _dedup_rows(rows: np.ndarray, lengths: np.ndarray):
     return rank[inverse.ravel()].astype(np.int64), first_idx[order]
 
 
+# below this many long terms the host postings build is cheaper than a
+# device round trip + per-shape compile
+DEVICE_POSTINGS_MIN = 50_000
+
+
+def _want_device_postings(config, n_long, device_postings):
+    if device_postings is not None:
+        return device_postings and not config.wide and config.gram_size <= 3
+    return (
+        not config.wide
+        and config.gram_size <= 3
+        and n_long >= DEVICE_POSTINGS_MIN
+    )
+
+
 def build_index(
     words: Sequence,
     row_size: int,
@@ -416,6 +431,7 @@ def build_index(
     config: IndexConfig = IndexConfig(),
     valid_chars: bytes = DEFAULT_VALID_CHARS,
     use_native: Optional[bool] = None,
+    device_postings: Optional[bool] = None,
 ) -> HostIndex:
     """Build an index from the reference's flattened row model
     (indexN, dllmain.cpp:37-49): every row's first word is the master key,
@@ -424,6 +440,9 @@ def build_index(
 
     ``use_native``: None = auto (C++ builder for narrow strings when it
     compiles), True = require it, False = numpy path.
+    ``device_postings``: None = auto (shingle+sort the gram CSR on device
+    for narrow g<=3 long tiers above DEVICE_POSTINGS_MIN - saves the
+    dominant posting upload), True/False = force.
     """
     if use_native is None:
         use_native = not config.wide
@@ -431,12 +450,17 @@ def build_index(
         nat = nativelib.get_native()
         if nat is not None:
             return _build_from_native(
-                nat, list(words), row_size, weights, config, valid_chars
+                nat, list(words), row_size, weights, config, valid_chars,
+                device_postings,
             )
-    return _build_numpy(words, row_size, weights, config, valid_chars)
+    return _build_numpy(
+        words, row_size, weights, config, valid_chars, device_postings
+    )
 
 
-def _build_from_native(nat, words, row_size, weights, config, valid_chars):
+def _build_from_native(
+    nat, words, row_size, weights, config, valid_chars, device_postings=None
+):
     """HostIndex from the C++ builder's array dict (semantics identical to
     the numpy path; see native/builder.cpp)."""
     w_arg = None
@@ -460,6 +484,21 @@ def _build_from_native(nat, words, row_size, weights, config, valid_chars):
 
     st = _pad_width(d["short_tokens"], config.short_pad)
     lt = _pad_width(d["long_tokens"], config.gram_size)
+    lt_dev = _upload_tokens(lt)
+    ll_dev = jnp.asarray(d["long_lengths"])
+    n_long_d = int(d["long_lengths"].shape[0])
+    if n_long_d and _want_device_postings(config, n_long_d, device_postings):
+        from .device_build import build_postings_device
+
+        gram_terms_dev, gram_ptr_h, gram_ids_h = build_postings_device(
+            lt_dev, ll_dev, config.gram_size
+        )
+        gram_ptr_dev = jnp.asarray(gram_ptr_h)
+    else:
+        gram_terms_dev = jnp.asarray(d["gram_terms"])
+        gram_ptr_dev = jnp.asarray(d["gram_ptr"])
+        gram_ptr_h = d["gram_ptr"]
+        gram_ids_h = d["gram_ids"]
     key_tokens, key_lens = d["key_tokens"], d["key_lengths"]
     if key_tokens.shape[0]:
         knorm, knorm_len = textlib.normalize_matrix(
@@ -473,10 +512,10 @@ def _build_from_native(nat, words, row_size, weights, config, valid_chars):
     device = DeviceIndex(
         short_tokens=_upload_tokens(st),
         short_lengths=jnp.asarray(d["short_lengths"]),
-        long_tokens=_upload_tokens(lt),
-        long_lengths=jnp.asarray(d["long_lengths"]),
-        gram_ptr=jnp.asarray(d["gram_ptr"]),
-        gram_terms=jnp.asarray(d["gram_terms"]),
+        long_tokens=lt_dev,
+        long_lengths=ll_dev,
+        gram_ptr=gram_ptr_dev,
+        gram_terms=gram_terms_dev,
         edge_term=jnp.asarray(et),
         edge_key=jnp.asarray(ek),
         edge_weight=jnp.asarray(ew),
@@ -498,13 +537,13 @@ def _build_from_native(nat, words, row_size, weights, config, valid_chars):
         config=config,
         tables=tables,
         key_strings=KeyStrings(key_tokens, key_lens, False),
-        gram_ids=d["gram_ids"],
+        gram_ids=gram_ids_h,
         device=device,
         n_terms=int(d["n_terms"]),
         max_term_len=int(d["max_term_len"]),
         vocab=None,
         indexed=True,
-        host_posting_lens=np.diff(d["gram_ptr"]).astype(np.int64),
+        host_posting_lens=np.diff(gram_ptr_h).astype(np.int64),
         host_key_norm_tokens=knorm,
         host_key_norm_lengths=np.asarray(knorm_len, np.int32),
         host_key_edge_counts=ke_counts,
@@ -517,6 +556,7 @@ def _build_numpy(
     weights: Optional[Sequence[float]] = None,
     config: IndexConfig = IndexConfig(),
     valid_chars: bytes = DEFAULT_VALID_CHARS,
+    device_postings: Optional[bool] = None,
 ) -> HostIndex:
     """Vectorized numpy build (reference implementation and wide-string
     path; the native builder must match it exactly)."""
@@ -625,7 +665,16 @@ def _build_numpy(
     vocab = None
     if wide and config.gram_size == 4:
         vocab = gramlib.WideVocab(lt[lt > 0] if lt.size else np.zeros(0, np.int64))
-    if n_long:
+    lt_dev = _upload_tokens(lt)
+    ll_dev = jnp.asarray(ll.astype(np.int32))
+    gram_terms_dev = None
+    if n_long and _want_device_postings(config, n_long, device_postings):
+        from .device_build import build_postings_device
+
+        gram_terms_dev, gram_ptr, distinct_grams = build_postings_device(
+            lt_dev, ll_dev, config.gram_size
+        )
+    elif n_long:
         gids, gvalid = gramlib.gram_ids(lt, ll, config.gram_size, wide, vocab)
         flat_g = gids[gvalid]
         flat_t = np.broadcast_to(
@@ -664,13 +713,15 @@ def _build_numpy(
     ke_ptr, ke_term, ke_w, ke_counts = _key_edge_csr(
         edge_term, edge_key, edge_weight, n_keys
     )
+    if gram_terms_dev is None:
+        gram_terms_dev = jnp.asarray(gram_terms)
     device = DeviceIndex(
         short_tokens=_upload_tokens(st),
         short_lengths=jnp.asarray(sl.astype(np.int32)),
-        long_tokens=_upload_tokens(lt),
-        long_lengths=jnp.asarray(ll.astype(np.int32)),
+        long_tokens=lt_dev,
+        long_lengths=ll_dev,
         gram_ptr=jnp.asarray(gram_ptr),
-        gram_terms=jnp.asarray(gram_terms),
+        gram_terms=gram_terms_dev,
         edge_term=jnp.asarray(edge_term),
         edge_key=jnp.asarray(edge_key),
         edge_weight=jnp.asarray(edge_weight),

@@ -221,6 +221,49 @@ _search_batch_device = functools.partial(
 )(search_batch_device_impl)
 
 
+def search_brute_batch_device_impl(
+    di, qtokens, qlens, qslots, n_qgrams, threshold, *, s_cap, top_k
+):
+    """Batched brute-force tier for qlen <= gram_size queries.
+
+    The reference brute-forces the ENTIRE long tier with the DP scorer for
+    such queries (getMatchScore long-lib fallback, nGramSearch.hpp:247-253);
+    round 1 dispatched each one separately.  One vmapped dispatch now scores
+    a whole chunk - the host caps the chunk size because the DP rows are
+    O(B x T x W).
+    """
+
+    def one(args):
+        qtok, qlen, slots, nqg = args
+        ts, tl = di.n_short, di.n_long
+        qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
+        m_short = dp_match(di.short_tokens, di.short_lengths, qtok, qlen)
+        m_long = dp_match(di.long_tokens, di.long_lengths, qtok, qlen)
+        s_a = jnp.concatenate([m_short, m_long]).astype(jnp.float32) / qlen_f
+        mask_a = jnp.ones((ts + tl,), bool)
+
+        hits = gather_hits(di.gram_ptr, di.gram_terms, slots, tl, s_cap)
+        s_b_long = hits.astype(jnp.float32) / jnp.maximum(
+            nqg.astype(jnp.float32), 1.0
+        )
+        s_b = jnp.concatenate([jnp.zeros((ts,), jnp.float32), s_b_long])
+        mask_b = jnp.concatenate(
+            [jnp.zeros((ts,), bool), (hits > 0) & (nqg > 0)]
+        )
+        eq_key = _key_eq_query(di, qtok, qlen)
+        score, reached = _propagate(
+            di, s_a, mask_a, s_b, mask_b, eq_key, threshold
+        )
+        return _finalize(di, score, reached, top_k)
+
+    return jax.vmap(one)((qtokens, qlens, qslots, n_qgrams))
+
+
+_search_brute_batch_device = functools.partial(
+    jax.jit, static_argnames=("s_cap", "top_k")
+)(search_brute_batch_device_impl)
+
+
 @functools.partial(jax.jit, static_argnames=("top_k",))
 def _wildcard_device(di, *, top_k):
     """Wildcard '' / '*' (nGramSearch.hpp:356-369): every key at its weight
@@ -396,6 +439,7 @@ class SearchEngine:
             return [([], [])] * len(queries)
 
         items = []  # (position, qnorm, qlen, promo_row or None)
+        brute_items = []  # (position, qnorm, qlen): qlen <= gram_size
         want_cand = mode != "dense" and (
             mode == "candidates"
             or (
@@ -412,7 +456,9 @@ class SearchEngine:
             qnorm, qlen = self._normalize_query(raw)
             if qlen == 0:
                 out[i] = ([], [])
-            elif qlen <= self.cfg.brute_force_cutoff or qlen > qp_bucket:
+            elif qlen <= self.cfg.brute_force_cutoff:
+                brute_items.append((i, qnorm, qlen))
+            elif qlen > qp_bucket:
                 out[i] = self._search_impl(raw, threshold, limit)
             else:
                 promo = None
@@ -425,7 +471,7 @@ class SearchEngine:
                         promo = pids
                 items.append((i, qnorm, qlen, promo))
 
-        if not items:
+        if not items and not brute_items:
             return out
 
         cand_items = [it for it in items if want_cand and it[3] is not None]
@@ -440,7 +486,48 @@ class SearchEngine:
             self._run_dense_chunks(
                 dense_items, threshold, limit, batch_bucket, qp_bucket, out
             )
+        if brute_items:
+            self._run_brute_chunks(brute_items, threshold, limit, out)
         return out
+
+    def _run_brute_chunks(self, items, threshold, limit, out):
+        """Batched brute tier (qlen <= gram_size): one vmapped DP dispatch
+        per chunk instead of one per query.  Chunks are small because the
+        whole-tier DP is O(B x T x W) memory."""
+        di = self.host.device
+        top_k = self._top_k(limit)
+        g = self.cfg.gram_size
+        qp = max(_next_pow2(self.cfg.brute_force_cutoff + 1, 8), g + 1)
+        w = max(int(di.short_tokens.shape[1]), int(di.long_tokens.shape[1]))
+        per_q = 12 * max(self.host.n_terms, 1) * (w + 2) + (1 << 18)
+        cap = max(int(self.BATCH_HBM_BUDGET // per_q), 1)
+        step = 1
+        while step * 2 <= min(cap, 64):
+            step *= 2
+
+        pending = []
+        for lo in range(0, len(items), step):
+            chunk = items[lo : lo + step]
+            b, qtok, qlens, slots, nqg, _, s_cap = self._prep_rows(
+                chunk, qp, min_b=min(step, 16)
+            )
+            res = _search_brute_batch_device(
+                di,
+                jnp.asarray(qtok),
+                jnp.asarray(qlens),
+                jnp.asarray(slots),
+                jnp.asarray(nqg),
+                np.float32(threshold),
+                s_cap=s_cap,
+                top_k=top_k,
+            )
+            pending.append((chunk, res))
+        for chunk, res in pending:
+            counts, ids_b, scores_b = jax.device_get(res)
+            for r, item in enumerate(chunk):
+                self._emit_row(
+                    out, item[0], counts[r], ids_b[r], scores_b[r], limit
+                )
 
     # HBM budget for per-batch intermediates; vmapped kernels allocate
     # O(B x terms) so B must shrink as the index grows.
@@ -454,12 +541,12 @@ class SearchEngine:
             pow2 *= 2
         return min(batch_bucket, pow2)
 
-    def _prep_rows(self, chunk, qp):
+    def _prep_rows(self, chunk, qp, min_b: int = 16):
         """Shared device buffers for a chunk of (pos, qnorm, qlen, ...)."""
         g = self.cfg.gram_size
         qmax = qp - g + 1
         lens_tbl = self.host.host_posting_lens
-        b = _next_pow2(len(chunk), 16)
+        b = _next_pow2(len(chunk), min_b)
         qtok = np.zeros((b, qp), dtype=np.int32)
         qlens = np.zeros(b, dtype=np.int32)
         slots = np.full((b, qmax), -1, dtype=np.int32)

@@ -85,3 +85,25 @@ def test_gram_matrix_budget():
     assert host.gram_matrix(budget_bytes=1) is None  # over budget -> None
     # and the over-budget outcome is cached as a miss, not an array
     assert host._gram_matrix_cache is False
+
+
+def test_brute_short_batched_parity():
+    """qlen <= gram_size queries run through the batched brute tier and
+    must match the single-query path exactly."""
+    import numpy as np
+
+    from stringsearchlib_tpu.config import IndexConfig
+    from stringsearchlib_tpu.index.build import build_index
+    from stringsearchlib_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(61)
+    words = [
+        "".join(rng.choice(list("ABCDE FG"), size=rng.integers(1, 14)))
+        for _ in range(600)
+    ]
+    host = build_index(words, 1, None, IndexConfig())
+    eng = SearchEngine(host)
+    queries = ["A", "AB", "ABC", "E", "FG", "ZZ", "B C", "  ", "DE"]
+    got = eng.search_batch(queries, 0.2, 25)
+    want = [eng.search(q, 0.2, 25) for q in queries]
+    assert got == want
