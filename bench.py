@@ -1,26 +1,31 @@
-"""Benchmark: query throughput against a synthetic product-name index.
+"""Benchmark: query throughput against synthetic product-name indexes.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-vs_baseline is measured queries/s/chip divided by the BASELINE.json
-north-star target (100k queries/s/chip at a 10M-key index, top-100).
-The reference publishes no numbers of its own (BASELINE.md).
+The headline metric is the BASELINE.json north-star configuration:
+queries/s/chip against a 10M-key index, top-100 (target 100k).  ``extra``
+carries the 1M-key numbers for both corpus shapes (gram-dense, which takes
+the dense MXU incidence path, and gram-rich, which takes the bucket-sketch
+path), p50 latencies at both sizes, single-query p50, and index build MB/s.
 
 Env knobs:
-  BENCH_KEYS      index size (default 1_000_000)
+  BENCH_KEYS      headline index size (default 10_000_000)
+  BENCH_1M_KEYS   secondary index size (default 1_000_000; 0 skips)
   BENCH_QUERIES   timed queries (default 512)
   BENCH_THRESHOLD match threshold (default 0.3)
+  BENCH_REPS      timed repetitions per config (default 5)
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 
 os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see package __init__
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import random
-import sys
 import time
 
 import numpy as np
@@ -38,12 +43,29 @@ _BRANDS = ["acme", "orion", "zenix", "nova", "apex", "volt", "lumen", "aero"]
 _TYPES = ["widget", "sensor", "valve", "motor", "panel", "cable", "filter"]
 
 
-def _product_name(rng: random.Random) -> str:
-    brand = rng.choice(_BRANDS)
-    model = "".join(rng.choice(_SYLLABLES) for _ in range(rng.randint(2, 4)))
-    kind = rng.choice(_TYPES)
-    num = rng.randint(1, 9999)
-    return f"{brand} {model} {kind} {num}"
+def _product_names(n: int, seed: int = 0) -> list:
+    """Vectorized product-name corpus (same distribution as round 1)."""
+    rng = np.random.default_rng(seed)
+    brands = rng.choice(_BRANDS, n)
+    kinds = rng.choice(_TYPES, n)
+    nums = rng.integers(1, 10000, n)
+    nsyl = rng.integers(2, 5, n)
+    syl = rng.choice(_SYLLABLES, (n, 4))
+    return [
+        f"{brands[i]} {''.join(syl[i, : nsyl[i]])} {kinds[i]} {nums[i]}"
+        for i in range(n)
+    ]
+
+
+def _rich_names(n: int, seed: int = 1) -> list:
+    """Gram-rich corpus: random alphanumerics fill the trigram space, so no
+    dense (G, Tl) incidence can exist at scale - exercises the sketch path."""
+    rng = np.random.default_rng(seed)
+    alpha = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz0123456789", np.uint8)
+    lens = rng.integers(8, 31, n)
+    mat = alpha[rng.integers(0, alpha.size, (n, 30))]
+    flat = mat.tobytes().decode("ascii")
+    return [flat[i * 30 : i * 30 + lens[i]] for i in range(n)]
 
 
 def _mutate(rng: random.Random, s: str) -> str:
@@ -60,71 +82,104 @@ def _mutate(rng: random.Random, s: str) -> str:
     return "".join(chars)
 
 
-def main() -> None:
-    n_keys = int(os.environ.get("BENCH_KEYS", 1_000_000))
-    n_queries = int(os.environ.get("BENCH_QUERIES", 512))
-    threshold = float(os.environ.get("BENCH_THRESHOLD", 0.3))
-    limit = 100
-    rng = random.Random(0)
+def _run_config(words, n_queries, threshold, limit, reps, singles=0):
+    """Build + search one corpus; returns a dict of measurements."""
+    import jax
 
     from stringsearchlib_tpu.config import IndexConfig
     from stringsearchlib_tpu.index.build import build_index
     from stringsearchlib_tpu.search.engine import SearchEngine
 
-    words = [_product_name(rng) for _ in range(n_keys)]
+    rng = random.Random(7)
     total_bytes = sum(len(w) for w in words)
 
     t0 = time.perf_counter()
     host = build_index(words, 1, None, IndexConfig())
+    jax.device_get(host.device.gram_ptr[:1])  # settle uploads
     build_s = time.perf_counter() - t0
     engine = SearchEngine(host)
 
     queries = [_mutate(rng, rng.choice(words)) for _ in range(n_queries)]
     batch = int(os.environ.get("BENCH_BATCH", 512))
 
-    # warmup: build the gram matrix (if it fits) and compile the batch
-    # variant(s) this query set touches
+    # warmup: build the front-end tables + compile this query set's variants
     gm = host.gram_matrix(engine.GM_BUDGET)
+    sk = None
+    if gm is None:
+        sk = host.sketch_tables(engine.SKETCH_BUDGET)
     engine.search_batch(queries, threshold, limit, batch_bucket=batch)
 
-    reps = max(1, int(os.environ.get("BENCH_REPS", 6)))
     lat = []
     for _ in range(reps):
         t1 = time.perf_counter()
         engine.search_batch(queries, threshold, limit, batch_bucket=batch)
         lat.append((time.perf_counter() - t1) / n_queries)
+    # median rep: remote-tunnel hiccups hit individual reps; the median
+    # reflects steady-state device throughput
+    per_q = float(np.percentile(np.array(lat), 50))
 
-    # median rep: remote-tunnel hiccups hit individual reps (measured
-    # 1020-1320 q/s swings at identical p50); the median reflects the
-    # steady-state device throughput
-    qps = 1.0 / float(np.percentile(np.array(lat), 50))
-    p50 = float(np.percentile(np.array(lat), 50) * 1e3)
-    build_mbps = total_bytes / 1e6 / build_s
+    out = {
+        "qps": round(1.0 / per_q, 2),
+        "p50_latency_ms": round(per_q * 1e3, 3),
+        "build_s": round(build_s, 1),
+        "build_mb_per_s": round(total_bytes / 1e6 / build_s, 2),
+        "n_keys": len(words),
+        "n_grams": host.n_grams,
+        "hits_path": "matmul" if gm is not None else (
+            "sketch" if sk is not None else "runs"
+        ),
+    }
+    if singles:
+        qs = queries[:singles]
+        engine.search(qs[0], threshold, limit)  # warm single variants
+        t2 = time.perf_counter()
+        for q in qs:
+            engine.search(q, threshold, limit)
+        out["single_query_p50_ms"] = round(
+            (time.perf_counter() - t2) / len(qs) * 1e3, 3
+        )
+    del engine, host, gm, sk
+    gc.collect()
+    return out
 
-    # interactive path: one query per dispatch
-    singles = queries[:32]
-    engine.search(singles[0], threshold, limit)  # warm the single variants
-    t2 = time.perf_counter()
-    for q in singles:
-        engine.search(q, threshold, limit)
-    single_p50 = (time.perf_counter() - t2) / len(singles) * 1e3
+
+def main() -> None:
+    n_keys = int(os.environ.get("BENCH_KEYS", 10_000_000))
+    n_1m = int(os.environ.get("BENCH_1M_KEYS", 1_000_000))
+    n_queries = int(os.environ.get("BENCH_QUERIES", 512))
+    threshold = float(os.environ.get("BENCH_THRESHOLD", 0.3))
+    reps = max(1, int(os.environ.get("BENCH_REPS", 5)))
+    limit = 100
+
+    extra = {"threshold": threshold}
+
+    if n_1m:
+        dense = _run_config(
+            _product_names(n_1m), n_queries, threshold, limit, reps,
+            singles=32,
+        )
+        extra["dense_1m"] = dense
+        rich = _run_config(
+            _rich_names(n_1m), n_queries, threshold, limit, reps
+        )
+        extra["rich_1m"] = rich
+
+    head = _run_config(
+        _product_names(n_keys, seed=2), n_queries, threshold, limit, reps,
+        singles=32,
+    )
+    extra["headline"] = head
 
     print(
         json.dumps(
             {
-                "metric": f"queries_per_sec_per_chip_{n_keys // 1000}k_keys_top100",
-                "value": round(qps, 2),
+                "metric": (
+                    f"queries_per_sec_per_chip_{n_keys // 1000}k_keys_top100"
+                ),
+                "value": head["qps"],
                 "unit": "queries/s",
-                "vs_baseline": round(qps / TARGET_QPS, 4),
-                "extra": {
-                    "p50_latency_ms": round(p50, 3),
-                    "index_build_mb_per_s": round(build_mbps, 2),
-                    "n_keys": n_keys,
-                    "threshold": threshold,
-                    "hits_path": "matmul" if gm is not None else "runs",
-                    "n_grams": host.n_grams,
-                    "single_query_p50_ms": round(single_p50, 3),
-                },
+                "vs_baseline": round(head["qps"] / TARGET_QPS, 4),
+                "extra": extra,
             }
         )
     )

@@ -382,6 +382,20 @@ def _upload_tokens(mat: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(mat).astype(jnp.int32)
 
 
+def _converters(to_device: bool):
+    """(array converter, token-matrix converter) for DeviceIndex leaves.
+
+    ``to_device=False`` keeps every leaf as host numpy - used by the
+    sharded/multi-host path, which slices the arrays per shard and uploads
+    only shard-local pieces (never the unsharded index)."""
+    if to_device:
+        return jnp.asarray, _upload_tokens
+    return (
+        lambda a: np.asarray(a),
+        lambda m: np.asarray(m).astype(np.int32),
+    )
+
+
 def _pad_width(mat: np.ndarray, min_width: int, multiple: int = 8) -> np.ndarray:
     """Pad the trailing dim to a multiple (TPU lane friendliness)."""
     width = max(mat.shape[1], min_width)
@@ -432,6 +446,7 @@ def build_index(
     valid_chars: bytes = DEFAULT_VALID_CHARS,
     use_native: Optional[bool] = None,
     device_postings: Optional[bool] = None,
+    to_device: bool = True,
 ) -> HostIndex:
     """Build an index from the reference's flattened row model
     (indexN, dllmain.cpp:37-49): every row's first word is the master key,
@@ -451,15 +466,17 @@ def build_index(
         if nat is not None:
             return _build_from_native(
                 nat, list(words), row_size, weights, config, valid_chars,
-                device_postings,
+                device_postings, to_device,
             )
     return _build_numpy(
-        words, row_size, weights, config, valid_chars, device_postings
+        words, row_size, weights, config, valid_chars, device_postings,
+        to_device,
     )
 
 
 def _build_from_native(
-    nat, words, row_size, weights, config, valid_chars, device_postings=None
+    nat, words, row_size, weights, config, valid_chars, device_postings=None,
+    to_device=True,
 ):
     """HostIndex from the C++ builder's array dict (semantics identical to
     the numpy path; see native/builder.cpp)."""
@@ -470,6 +487,7 @@ def _build_from_native(
         words, int(row_size), w_arg, int(config.gram_size), bytes(valid_chars)
     )
     tables = textlib.TextTables(valid_chars, wide=False)
+    dev, up = _converters(to_device)
 
     # canonical edge order: sorted by (term, key) for the term->edge CSR
     et, ek, ew = d["edge_term"], d["edge_key"], d["edge_weight"]
@@ -484,19 +502,20 @@ def _build_from_native(
 
     st = _pad_width(d["short_tokens"], config.short_pad)
     lt = _pad_width(d["long_tokens"], config.gram_size)
-    lt_dev = _upload_tokens(lt)
-    ll_dev = jnp.asarray(d["long_lengths"])
+    lt_dev = up(lt)
+    ll_dev = dev(d["long_lengths"])
     n_long_d = int(d["long_lengths"].shape[0])
-    if n_long_d and _want_device_postings(config, n_long_d, device_postings):
+    if (to_device and n_long_d
+            and _want_device_postings(config, n_long_d, device_postings)):
         from .device_build import build_postings_device
 
         gram_terms_dev, gram_ptr_h, gram_ids_h = build_postings_device(
             lt_dev, ll_dev, config.gram_size
         )
-        gram_ptr_dev = jnp.asarray(gram_ptr_h)
+        gram_ptr_dev = dev(gram_ptr_h)
     else:
-        gram_terms_dev = jnp.asarray(d["gram_terms"])
-        gram_ptr_dev = jnp.asarray(d["gram_ptr"])
+        gram_terms_dev = dev(d["gram_terms"])
+        gram_ptr_dev = dev(d["gram_ptr"])
         gram_ptr_h = d["gram_ptr"]
         gram_ids_h = d["gram_ids"]
     key_tokens, key_lens = d["key_tokens"], d["key_lengths"]
@@ -510,28 +529,28 @@ def _build_from_native(
     knorm = _pad_width(knorm, 1)
 
     device = DeviceIndex(
-        short_tokens=_upload_tokens(st),
-        short_lengths=jnp.asarray(d["short_lengths"]),
+        short_tokens=up(st),
+        short_lengths=dev(d["short_lengths"]),
         long_tokens=lt_dev,
         long_lengths=ll_dev,
         gram_ptr=gram_ptr_dev,
         gram_terms=gram_terms_dev,
-        edge_term=jnp.asarray(et),
-        edge_key=jnp.asarray(ek),
-        edge_weight=jnp.asarray(ew),
-        term_edge_ptr=jnp.asarray(te_ptr),
-        term_wmax=jnp.asarray(t_wmax),
-        term_prim_key=jnp.asarray(pk),
-        term_prim_weight=jnp.asarray(pw),
-        term_extra_ptr=jnp.asarray(xptr),
-        extra_key=jnp.asarray(xkey),
-        extra_weight=jnp.asarray(xw),
-        key_edge_ptr=jnp.asarray(ke_ptr),
-        key_edge_term=jnp.asarray(ke_term),
-        key_edge_weight=jnp.asarray(ke_w),
-        key_len=jnp.asarray(key_lens.astype(np.int32)),
-        key_norm_tokens=_upload_tokens(knorm),
-        key_norm_lengths=jnp.asarray(knorm_len.astype(np.int32)),
+        edge_term=dev(et),
+        edge_key=dev(ek),
+        edge_weight=dev(ew),
+        term_edge_ptr=dev(te_ptr),
+        term_wmax=dev(t_wmax),
+        term_prim_key=dev(pk),
+        term_prim_weight=dev(pw),
+        term_extra_ptr=dev(xptr),
+        extra_key=dev(xkey),
+        extra_weight=dev(xw),
+        key_edge_ptr=dev(ke_ptr),
+        key_edge_term=dev(ke_term),
+        key_edge_weight=dev(ke_w),
+        key_len=dev(key_lens.astype(np.int32)),
+        key_norm_tokens=up(knorm),
+        key_norm_lengths=dev(knorm_len.astype(np.int32)),
     )
     return HostIndex(
         config=config,
@@ -557,10 +576,12 @@ def _build_numpy(
     config: IndexConfig = IndexConfig(),
     valid_chars: bytes = DEFAULT_VALID_CHARS,
     device_postings: Optional[bool] = None,
+    to_device: bool = True,
 ) -> HostIndex:
     """Vectorized numpy build (reference implementation and wide-string
     path; the native builder must match it exactly)."""
     tables = textlib.TextTables(valid_chars, wide=config.wide)
+    dev, up = _converters(to_device)
     empty = words is None or len(words) < 2  # size<2 guard, nGramSearch.hpp:122
     words = [] if empty else list(words)
     size = len(words)
@@ -665,10 +686,11 @@ def _build_numpy(
     vocab = None
     if wide and config.gram_size == 4:
         vocab = gramlib.WideVocab(lt[lt > 0] if lt.size else np.zeros(0, np.int64))
-    lt_dev = _upload_tokens(lt)
-    ll_dev = jnp.asarray(ll.astype(np.int32))
+    lt_dev = up(lt)
+    ll_dev = dev(ll.astype(np.int32))
     gram_terms_dev = None
-    if n_long and _want_device_postings(config, n_long, device_postings):
+    if (to_device and n_long
+            and _want_device_postings(config, n_long, device_postings)):
         from .device_build import build_postings_device
 
         gram_terms_dev, gram_ptr, distinct_grams = build_postings_device(
@@ -714,30 +736,30 @@ def _build_numpy(
         edge_term, edge_key, edge_weight, n_keys
     )
     if gram_terms_dev is None:
-        gram_terms_dev = jnp.asarray(gram_terms)
+        gram_terms_dev = dev(gram_terms)
     device = DeviceIndex(
-        short_tokens=_upload_tokens(st),
-        short_lengths=jnp.asarray(sl.astype(np.int32)),
+        short_tokens=up(st),
+        short_lengths=dev(sl.astype(np.int32)),
         long_tokens=lt_dev,
         long_lengths=ll_dev,
-        gram_ptr=jnp.asarray(gram_ptr),
+        gram_ptr=dev(gram_ptr),
         gram_terms=gram_terms_dev,
-        edge_term=jnp.asarray(edge_term),
-        edge_key=jnp.asarray(edge_key),
-        edge_weight=jnp.asarray(edge_weight),
-        term_edge_ptr=jnp.asarray(te_ptr),
-        term_wmax=jnp.asarray(t_wmax),
-        term_prim_key=jnp.asarray(pk),
-        term_prim_weight=jnp.asarray(pw),
-        term_extra_ptr=jnp.asarray(xptr),
-        extra_key=jnp.asarray(xkey),
-        extra_weight=jnp.asarray(xw),
-        key_edge_ptr=jnp.asarray(ke_ptr),
-        key_edge_term=jnp.asarray(ke_term),
-        key_edge_weight=jnp.asarray(ke_w),
-        key_len=jnp.asarray(key_lens_raw.astype(np.int32)),
-        key_norm_tokens=_upload_tokens(knorm),
-        key_norm_lengths=jnp.asarray(knorm_len.astype(np.int32)),
+        edge_term=dev(edge_term),
+        edge_key=dev(edge_key),
+        edge_weight=dev(edge_weight),
+        term_edge_ptr=dev(te_ptr),
+        term_wmax=dev(t_wmax),
+        term_prim_key=dev(pk),
+        term_prim_weight=dev(pw),
+        term_extra_ptr=dev(xptr),
+        extra_key=dev(xkey),
+        extra_weight=dev(xw),
+        key_edge_ptr=dev(ke_ptr),
+        key_edge_term=dev(ke_term),
+        key_edge_weight=dev(ke_w),
+        key_len=dev(key_lens_raw.astype(np.int32)),
+        key_norm_tokens=up(knorm),
+        key_norm_lengths=dev(knorm_len.astype(np.int32)),
     )
 
     return HostIndex(

@@ -245,7 +245,7 @@ def _finish_selected(
     f_valid = jnp.concatenate([cand_valid, p_reached])
     f_len = jnp.concatenate([l_sorted, di.key_len[p_c]])
     neg = jnp.where(f_valid, -f_score, np.float32(np.inf))
-    neg_sorted, _, out_key, out_score = jax.lax.sort(
+    neg_sorted, out_len, out_key, out_score = jax.lax.sort(
         (neg, jnp.where(f_valid, f_len, np.int32(2**30)), f_key, f_score),
         num_keys=3,
     )
@@ -264,7 +264,7 @@ def _finish_selected(
     count = jnp.where(
         covered, reached_total, jnp.minimum(reached_total, limit)
     )
-    return count, out_key[:top_k], out_score[:top_k], exact
+    return count, out_key[:top_k], out_score[:top_k], out_len[:top_k], exact
 
 
 def _short_tier(di, qtok, qlen, us, threshold, qlen_f):

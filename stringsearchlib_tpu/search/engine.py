@@ -788,7 +788,7 @@ class SearchEngine:
 
         retry = []
         for lo, hi, res in pending:
-            counts, ids_b, scores_b, exact = jax.device_get(res)
+            counts, ids_b, scores_b, _, exact = jax.device_get(res)
             for r, item in enumerate(items[lo:hi]):
                 if exact[r]:
                     self._emit_row(

@@ -76,8 +76,8 @@ def test_block_selection_matches_plain_topk(big_engine):
         ]
 
     for n_cand in (16, 64):
-        cnt_p, ids_p, sc_p, ex_p = run(False, n_cand)
-        cnt_b, ids_b, sc_b, ex_b = run(True, n_cand)
+        cnt_p, ids_p, sc_p, _, ex_p = run(False, n_cand)
+        cnt_b, ids_b, sc_b, _, ex_b = run(True, n_cand)
         # block coverage is never weaker than plain top-k coverage
         assert (ex_b | ~ex_p).all(), (n_cand, ex_p, ex_b)
         both = ex_p & ex_b
