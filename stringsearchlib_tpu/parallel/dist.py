@@ -5,23 +5,31 @@ The reference's only parallelism is two std::async threads per query
 parallelism inventory, BASELINE.json north star) is data parallelism over
 the *term* dimension:
 
-  * terms (both tiers), their postings and their term->key edges are
-    partitioned into contiguous per-shard chunks;
+  * terms (both tiers), their postings, their term->key edges and their
+    key->edge CSR are partitioned into contiguous per-shard chunks;
   * queries are replicated to every shard;
-  * each shard computes raw per-key score maxima over its local edges;
-  * raw maxima and promotion flags merge with ``lax.pmax`` over the mesh
-    axis (max is the calcScore combine rule, so the merge is exact);
-  * flooring, promotion, sorting and top-k run replicated on the merged
-    (K,) vectors, reproducing single-chip results bit-for-bit.
+  * each shard runs the candidate-sparse search (search.candidates) on its
+    local chunk, producing a local top-k of (key, score, key_len) triples
+    in GLOBAL key space plus a sound upper bound on every key contribution
+    it did NOT return;
+  * the S local top-k lists all_gather (S * top_k triples per query - ICI
+    traffic independent of K, unlike a dense (K,) merge) and merge
+    replicated: dedup by key with a max (the calcScore combine rule, so
+    cross-shard contributions merge exactly), re-rank by (score desc,
+    key length asc, key id), slice top-k;
+  * the merged exactness guard accepts when every shard closed its bound
+    (-inf: fully covered, untruncated, no overflow) or when the merged
+    limit-th score strictly exceeds every shard's bound; rows that fail
+    retry on the dense sharded path (per-key pmax merge).
 
-Padding invariants: padded term rows have length 0 and no edges; padded
-posting slots are never addressed (CSR ptr bounds them out); padded edges
-point at a ghost key (index K) with weight 0 and are sliced away before
-flooring.
+Wildcard, brute-force-short (qlen <= gram_size) and dense-retry queries use
+per-key merges: each shard scores its local chunk into a replicated-id-space
+(K+1,) vector (ghost key K absorbs padding) and merges with ``lax.pmax``.
 
-Keys are replicated in this round-1 design; ICI traffic per query batch is
-the (K,) pmax pair.  A candidate-sparse merge (local top-C + all_gather)
-replaces it for very large K in a later round.
+No unsharded DeviceIndex is ever allocated: ``shard_index`` consumes a
+host-resident index (``build_index(..., to_device=False)`` keeps every leaf
+as numpy) and ``ShardedEngine`` uploads only per-shard slices, placed with
+``NamedSharding`` so each device holds exactly its chunk.
 """
 
 from __future__ import annotations
@@ -33,19 +41,32 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..index.arrays import DeviceIndex
 from ..index.build import HostIndex
+from ..search.candidates import candidates_matmul_impl, candidates_runs_impl
 from ..search.engine import (
+    SearchEngine,
     _finalize,
     _floor_and_promote,
     _key_eq_query,
+    _next_pow2,
     _propagate_raw,
     _term_scores,
 )
 
 AXIS = "shards"
+
+_NEG_INF = np.float32(-np.inf)
+
+# leaves partitioned over the mesh axis (leading dim = shard); everything
+# else in the leaf dict is replicated
+_STACKED = (
+    "short_tokens", "short_lengths", "long_tokens", "long_lengths",
+    "gram_ptr", "gram_terms", "term_wmax", "term_extra_ptr", "pt", "xt",
+    "extra_key", "edge_term", "edge_key", "edge_weight",
+    "key_edge_ptr", "key_edge_term", "key_edge_weight", "gm",
+)
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = AXIS) -> Mesh:
@@ -71,146 +92,255 @@ def _pad_rows(arr: np.ndarray, rows: int) -> np.ndarray:
 
 @dataclasses.dataclass
 class ShardedIndex:
-    """Host handle for a term-sharded index."""
+    """Host handle for a term-sharded index (all leaves host numpy; the
+    engine uploads per-shard slices with NamedSharding placement)."""
 
     host: HostIndex
     n_shards: int
     ts_c: int  # short terms per shard
     tl_c: int  # long terms per shard
-    # stacked per-shard leaves (leading dim = shard)
-    short_tokens: jnp.ndarray
-    short_lengths: jnp.ndarray
-    long_tokens: jnp.ndarray
-    long_lengths: jnp.ndarray
-    gram_ptr: jnp.ndarray  # (S, G+1)
-    gram_terms: jnp.ndarray  # (S, Pmax)
-    edge_term: jnp.ndarray  # (S, Emax)
-    edge_key: jnp.ndarray
-    edge_weight: jnp.ndarray
-    # replicated
-    key_len: jnp.ndarray  # (K,)
-    key_norm_tokens: jnp.ndarray  # (K+1, L) incl. ghost row
-    key_norm_lengths: jnp.ndarray  # (K+1,)
-    host_shard_posting_lens: np.ndarray  # (S, G) for query caps
+    leaves: dict  # name -> np.ndarray; _STACKED names lead with the shard dim
+    host_shard_posting_lens: np.ndarray  # (S, G) for query s_cap sizing
 
     @property
     def n_keys(self) -> int:
-        return int(self.key_len.shape[0])
+        return int(self.leaves["key_len"].shape[0])
+
+
+def _shard_ranges(sorted_shard: np.ndarray, s: int) -> np.ndarray:
+    """(S+1,) boundaries of contiguous shard runs in a shard-sorted array."""
+    return np.searchsorted(sorted_shard, np.arange(s + 1)).astype(np.int64)
 
 
 def shard_index(host: HostIndex, n_shards: int) -> ShardedIndex:
-    """Partition a built index into n_shards contiguous term chunks."""
+    """Partition a built index into n_shards contiguous term chunks.
+
+    Fully vectorized: one stable shard-sort over the postings and one over
+    the edges (plus per-shard contiguous-slice passes), O(P log P + E log E)
+    total - no per-shard rescan of the full posting array.
+    """
     di = host.device
-    ts, tl = di.n_short, di.n_long
-    k = di.n_keys
-    ts_c = -(-max(ts, 1) // n_shards) if ts else 0
-    tl_c = -(-max(tl, 1) // n_shards) if tl else 0
+    s = n_shards
+    npa = np.asarray
+    st_g = npa(di.short_tokens)
+    sl_g = npa(di.short_lengths)
+    lt_g = npa(di.long_tokens)
+    ll_g = npa(di.long_lengths)
+    ptr = npa(di.gram_ptr).astype(np.int64)
+    terms = npa(di.gram_terms).astype(np.int64)
+    et = npa(di.edge_term).astype(np.int64)
+    ek = npa(di.edge_key).astype(np.int32)
+    ew = npa(di.edge_weight).astype(np.float32)
+    key_len = npa(di.key_len).astype(np.int32)
+    knt = npa(di.key_norm_tokens)
+    knl = npa(di.key_norm_lengths).astype(np.int32)
+
+    ts, tl = st_g.shape[0], lt_g.shape[0]
+    k = key_len.shape[0]
+    g = ptr.shape[0] - 1
+    ts_c = -(-max(ts, 1) // s) if ts else 0
+    tl_c = -(-max(tl, 1) // s) if tl else 0
     if ts_c + tl_c == 0:
         raise ValueError("cannot shard an empty index")
+    tc = ts_c + tl_c
 
-    st = np.asarray(di.short_tokens)
-    sl = np.asarray(di.short_lengths)
-    lt = np.asarray(di.long_tokens)
-    ll = np.asarray(di.long_lengths)
-    ptr = np.asarray(di.gram_ptr)
-    terms = np.asarray(di.gram_terms)
-    et = np.asarray(di.edge_term)
-    ek = np.asarray(di.edge_key)
-    ew = np.asarray(di.edge_weight)
-    g = ptr.shape[0] - 1
+    leaves: dict = {}
+    leaves["short_tokens"] = _pad_rows(st_g, s * ts_c).reshape(
+        s, ts_c, st_g.shape[1] if st_g.ndim > 1 else 0
+    )
+    leaves["short_lengths"] = _pad_rows(sl_g, s * ts_c).reshape(s, ts_c)
+    leaves["long_tokens"] = _pad_rows(lt_g, s * tl_c).reshape(
+        s, tl_c, lt_g.shape[1] if lt_g.ndim > 1 else 0
+    )
+    leaves["long_lengths"] = _pad_rows(ll_g, s * tl_c).reshape(s, tl_c)
 
-    shard_leaves = {name: [] for name in (
-        "short_tokens", "short_lengths", "long_tokens", "long_lengths",
-        "gram_ptr", "gram_terms", "edge_term", "edge_key", "edge_weight",
-    )}
-    posting_lens = []
-    lens_all = np.diff(ptr)
-    # posting term-id ranges per shard: postings are sorted by (gram, term),
-    # select by long-term chunk membership.
-    for s in range(n_shards):
-        s_lo, s_hi = s * ts_c, min((s + 1) * ts_c, ts)
-        l_lo, l_hi = s * tl_c, min((s + 1) * tl_c, tl)
-        shard_leaves["short_tokens"].append(_pad_rows(st[s_lo:s_hi], ts_c))
-        shard_leaves["short_lengths"].append(_pad_rows(sl[s_lo:s_hi], ts_c))
-        shard_leaves["long_tokens"].append(_pad_rows(lt[l_lo:l_hi], tl_c))
-        shard_leaves["long_lengths"].append(_pad_rows(ll[l_lo:l_hi], tl_c))
+    # -- postings: one stable shard-sort, contiguous per-shard slices -------
+    p_tot = terms.shape[0]
+    if p_tot and tl_c:
+        lens_all = np.diff(ptr)
+        gram_of = np.repeat(np.arange(g, dtype=np.int64), lens_all)
+        shard_of = terms // tl_c
+        counts2d = np.bincount(
+            shard_of * g + gram_of, minlength=s * g
+        ).reshape(s, g)
+        order = np.argsort(shard_of, kind="stable")
+        sorted_shard = shard_of[order]
+        bounds = _shard_ranges(sorted_shard, s)
+        pos_in_shard = np.arange(p_tot, dtype=np.int64) - bounds[sorted_shard]
+        pmax_len = max(int((bounds[1:] - bounds[:-1]).max()), 1)
+        gram_terms_s = np.zeros((s, pmax_len), np.int32)
+        gram_terms_s[sorted_shard, pos_in_shard] = (
+            terms[order] - sorted_shard * tl_c
+        ).astype(np.int32)
+        gram_ptr_s = np.zeros((s, g + 1), np.int32)
+        np.cumsum(counts2d, axis=1, out=gram_ptr_s[:, 1:])
+    else:
+        counts2d = np.zeros((s, g), np.int64)
+        gram_terms_s = np.zeros((s, 1), np.int32)
+        gram_ptr_s = np.zeros((s, g + 1), np.int32)
+    leaves["gram_ptr"] = gram_ptr_s
+    leaves["gram_terms"] = gram_terms_s
 
-        sel = (terms >= l_lo) & (terms < l_hi)
-        local_terms = (terms[sel] - l_lo).astype(np.int32)
-        # per-gram counts of selected postings -> local CSR
-        gram_of = np.repeat(np.arange(g), lens_all)
-        counts = np.bincount(gram_of[sel], minlength=g).astype(np.int32)
-        lptr = np.zeros(g + 1, dtype=np.int32)
-        np.cumsum(counts, out=lptr[1:])
-        shard_leaves["gram_ptr"].append(lptr)
-        shard_leaves["gram_terms"].append(local_terms)
-        posting_lens.append(counts.astype(np.int64))
+    # -- edges: shard by term ownership, local term ids (shorts then longs) -
+    e_tot = et.shape[0]
+    is_short = et < ts
+    shard_e = np.where(
+        is_short,
+        et // max(ts_c, 1),
+        (et - ts) // max(tl_c, 1),
+    ).astype(np.int64)
+    local_t = np.where(
+        is_short, et - shard_e * ts_c, ts_c + (et - ts - shard_e * tl_c)
+    ).astype(np.int64)
 
-        # edges whose term lives here, remapped to local term space
-        is_short = et < ts
-        in_s = is_short & (et >= s_lo) & (et < s_hi)
-        in_l = ~is_short & (et - ts >= l_lo) & (et - ts < l_hi)
-        sel_e = in_s | in_l
-        let = np.where(is_short[sel_e], et[sel_e] - s_lo,
-                       ts_c + (et[sel_e] - ts - l_lo)).astype(np.int32)
-        shard_leaves["edge_term"].append(let)
-        shard_leaves["edge_key"].append(ek[sel_e])
-        shard_leaves["edge_weight"].append(ew[sel_e])
+    # term-sorted within shard (global edges are (term, key)-sorted and a
+    # stable shard-sort preserves that; shorts precede longs globally, so
+    # the local order is local-term ascending)
+    order_e = np.argsort(shard_e, kind="stable")
+    se_sorted = shard_e[order_e]
+    lt_sorted = local_t[order_e]
+    ek_sorted = ek[order_e]
+    ew_sorted = ew[order_e]
+    ebounds = _shard_ranges(se_sorted, s)
+    emax = max(int((ebounds[1:] - ebounds[:-1]).max()) if e_tot else 0, 1)
 
-    pmax_len = max(max((a.shape[0] for a in shard_leaves["gram_terms"]), default=0), 1)
-    emax = max(max((a.shape[0] for a in shard_leaves["edge_term"]), default=0), 1)
+    def _stack_sorted(vals, fill, dtype):
+        out = np.full((s, emax), fill, dtype=dtype)
+        pos = np.arange(e_tot, dtype=np.int64) - ebounds[se_sorted]
+        out[se_sorted, pos] = vals
+        return out
 
-    def _stack(name, width, fill=0):
-        out = [
-            np.pad(a, (0, width - a.shape[0]), constant_values=fill)
-            for a in shard_leaves[name]
+    if e_tot:
+        leaves["edge_term"] = _stack_sorted(
+            lt_sorted.astype(np.int32), 0, np.int32
+        )
+        # ghost key K absorbs padded edges in the dense per-key merge
+        leaves["edge_key"] = _stack_sorted(ek_sorted, k, np.int32)
+        leaves["edge_weight"] = _stack_sorted(ew_sorted, 0.0, np.float32)
+    else:
+        leaves["edge_term"] = np.zeros((s, emax), np.int32)
+        leaves["edge_key"] = np.full((s, emax), k, np.int32)
+        leaves["edge_weight"] = np.zeros((s, emax), np.float32)
+
+    # per-(shard, local term) CSR -> wmax, primary edge, extras
+    flat_term = se_sorted * tc + lt_sorted
+    counts_t = np.bincount(flat_term, minlength=s * tc).astype(np.int64)
+    ptr_t = np.zeros(s * tc + 1, np.int64)
+    np.cumsum(counts_t, out=ptr_t[1:])
+    nz = counts_t > 0
+    wmax_flat = np.zeros(s * tc, np.float32)
+    prim_key_flat = np.full(s * tc, -1, np.int32)
+    prim_w_flat = np.zeros(s * tc, np.float32)
+    if e_tot:
+        wmax_flat[nz] = np.maximum.reduceat(ew_sorted, ptr_t[:-1][nz])
+        firsts = ptr_t[:-1][nz]
+        prim_key_flat[nz] = ek_sorted[firsts]
+        prim_w_flat[nz] = ew_sorted[firsts]
+    leaves["term_wmax"] = wmax_flat.reshape(s, tc)
+
+    is_extra = np.ones(e_tot, dtype=bool)
+    if e_tot:
+        is_extra[ptr_t[:-1][nz]] = False
+    extra_counts = np.maximum(counts_t - 1, 0)
+    xptr_flat = np.zeros(s * tc + 1, np.int64)
+    np.cumsum(extra_counts, out=xptr_flat[1:])
+    # per-shard extra CSR: subtract each shard's base offset
+    xbase = xptr_flat[np.arange(s, dtype=np.int64) * tc]
+    term_extra_ptr = (
+        xptr_flat[: s * tc + 1][
+            (np.arange(s)[:, None] * tc + np.arange(tc + 1)[None, :])
         ]
-        return jnp.asarray(np.stack(out))
+        - xbase[:, None]
+    ).astype(np.int32)
+    leaves["term_extra_ptr"] = term_extra_ptr
+    xk_sorted = ek_sorted[is_extra]
+    xw_sorted = ew_sorted[is_extra]
+    xs_shard = se_sorted[is_extra]
+    xbounds = _shard_ranges(xs_shard, s)
+    xmax = max(int((xbounds[1:] - xbounds[:-1]).max()) if xk_sorted.size else 0, 1)
+    x_tot = xk_sorted.shape[0]
+    extra_key_s = np.full((s, xmax), -1, np.int32)
+    extra_w_s = np.zeros((s, xmax), np.float32)
+    if x_tot:
+        xpos = np.arange(x_tot, dtype=np.int64) - xbounds[xs_shard]
+        extra_key_s[xs_shard, xpos] = xk_sorted
+        extra_w_s[xs_shard, xpos] = xw_sorted
+    leaves["extra_key"] = extra_key_s
+    # candidate-path has_extras flag must be a STATIC property of the index:
+    # an all-padded (S, 1) extra table with zero extras collapses to width 1
+    # and every ptr 0, which the kernels handle (tot_x = 0)
 
-    knt = np.asarray(di.key_norm_tokens)
-    knl = np.asarray(di.key_norm_lengths)
+    # 4-wide [key, bitcast(weight), key_len, 0] records (prim_tables layout)
+    def _records(keys2d, w2d):
+        kc = np.clip(keys2d, 0, max(k - 1, 0))
+        lens = key_len[kc] if k else np.zeros_like(keys2d)
+        return np.stack(
+            [
+                keys2d,
+                w2d.astype(np.float32).view(np.int32),
+                np.where(keys2d >= 0, lens, 0).astype(np.int32),
+                np.zeros_like(keys2d),
+            ],
+            axis=-1,
+        ).astype(np.int32)
+
+    leaves["pt"] = _records(
+        prim_key_flat.reshape(s, tc), prim_w_flat.reshape(s, tc)
+    )
+    leaves["xt"] = _records(extra_key_s, extra_w_s)
+
+    # -- per-shard key->local-edge CSR (promotion scoring) ------------------
+    order_ke = np.lexsort((ek, shard_e))  # by shard, then key
+    ske = shard_e[order_ke]
+    kke = ek[order_ke]
+    tke = local_t[order_ke].astype(np.int32)
+    wke = ew[order_ke]
+    ke_counts = np.bincount(
+        ske * (k + 1) + kke, minlength=s * (k + 1)
+    ).reshape(s, k + 1)[:, :k] if e_tot else np.zeros((s, k), np.int64)
+    key_edge_ptr = np.zeros((s, k + 1), np.int32)
+    np.cumsum(ke_counts, axis=1, out=key_edge_ptr[:, 1:])
+    kebounds = _shard_ranges(ske, s) if e_tot else np.zeros(s + 1, np.int64)
+    kemax = max(
+        int((kebounds[1:] - kebounds[:-1]).max()) if e_tot else 0, 1
+    )
+    key_edge_term = np.zeros((s, kemax), np.int32)
+    key_edge_weight = np.zeros((s, kemax), np.float32)
+    if e_tot:
+        kpos = np.arange(e_tot, dtype=np.int64) - kebounds[ske]
+        key_edge_term[ske, kpos] = tke
+        key_edge_weight[ske, kpos] = wke
+    leaves["key_edge_ptr"] = key_edge_ptr
+    leaves["key_edge_term"] = key_edge_term
+    leaves["key_edge_weight"] = key_edge_weight
+
+    # -- replicated key arrays ---------------------------------------------
+    leaves["key_len"] = key_len
     ghost_tok = np.zeros((1, knt.shape[1]), knt.dtype)
     ghost_len = np.full((1,), -1, knl.dtype)  # never equals any qlen
+    leaves["key_norm_tokens"] = np.concatenate([knt, ghost_tok])
+    leaves["key_norm_lengths"] = np.concatenate([knl, ghost_len])
 
     return ShardedIndex(
         host=host,
-        n_shards=n_shards,
+        n_shards=s,
         ts_c=ts_c,
         tl_c=tl_c,
-        short_tokens=jnp.asarray(np.stack(shard_leaves["short_tokens"])),
-        short_lengths=jnp.asarray(np.stack(shard_leaves["short_lengths"])),
-        long_tokens=jnp.asarray(np.stack(shard_leaves["long_tokens"])),
-        long_lengths=jnp.asarray(np.stack(shard_leaves["long_lengths"])),
-        gram_ptr=jnp.asarray(np.stack(shard_leaves["gram_ptr"])),
-        gram_terms=_stack("gram_terms", pmax_len),
-        # padded edges: ghost key K, weight 0, term 0 (always a valid local id)
-        edge_term=_stack("edge_term", emax),
-        edge_key=_stack("edge_key", emax, fill=k),
-        edge_weight=_stack("edge_weight", emax),
-        key_len=di.key_len,
-        key_norm_tokens=jnp.asarray(np.concatenate([knt, ghost_tok])),
-        key_norm_lengths=jnp.asarray(np.concatenate([knl, ghost_len])),
-        host_shard_posting_lens=np.stack(posting_lens) if posting_lens else
-        np.zeros((n_shards, g), np.int64),
+        leaves=leaves,
+        host_shard_posting_lens=counts2d,
     )
 
 
-@dataclasses.dataclass
-class _GhostKeys:
-    """DeviceIndex-shaped view with the ghost key row appended."""
+class _ShardView:
+    """DeviceIndex-shaped view over one shard's leaves (local terms, GLOBAL
+    keys).  Padded term slots have length 0, wmax 0, primary key -1 and no
+    extra/key edges, so they can never contribute to a key."""
 
-    # only the fields the engine internals touch
-    short_tokens: jnp.ndarray
-    short_lengths: jnp.ndarray
-    long_tokens: jnp.ndarray
-    long_lengths: jnp.ndarray
-    gram_ptr: jnp.ndarray
-    gram_terms: jnp.ndarray
-    edge_term: jnp.ndarray
-    edge_key: jnp.ndarray
-    edge_weight: jnp.ndarray
-    key_norm_tokens: jnp.ndarray
-    key_norm_lengths: jnp.ndarray
+    def __init__(self, lv: dict, strip: bool):
+        for name, arr in lv.items():
+            if name in ("pt", "xt", "gm"):
+                continue
+            setattr(self, name, arr[0] if strip and name in _STACKED else arr)
 
     @property
     def n_short(self):
@@ -225,134 +355,165 @@ class _GhostKeys:
         return self.key_norm_lengths.shape[0]
 
 
-def sharded_search_step(
-    sx_leaves: dict,
-    qtokens,
-    qlen,
-    qslots,
-    n_qgrams,
+# ---------------------------------------------------------------------------
+# candidate-sparse sharded step (the production path)
+# ---------------------------------------------------------------------------
+
+
+def _merge_shard_topk(cnt_s, keys_s, scores_s, lens_s, bound_s, k_total,
+                      limit, top_k):
+    """Replicated merge of per-shard local top-k lists.
+
+    ``cnt_s`` (S, B) local reached totals; keys/scores/lens (S, B, top_k)
+    in global key space; ``bound_s`` (S, B) per-shard contribution bounds
+    for keys absent from that shard's list (-inf = closed).  Dedup by key
+    takes the max score (the calcScore combine is a max over edges and each
+    edge lives on exactly one shard); ranking reproduces the single-chip
+    (score desc, key length asc, key id) order.
+    """
+    s, b, tk = keys_s.shape
+    pos = jnp.arange(tk, dtype=jnp.int32)
+    valid = pos[None, None, :] < jnp.minimum(cnt_s, tk)[:, :, None]
+    keys_f = jnp.swapaxes(keys_s, 0, 1).reshape(b, s * tk)
+    scores_f = jnp.swapaxes(scores_s, 0, 1).reshape(b, s * tk)
+    lens_f = jnp.swapaxes(lens_s, 0, 1).reshape(b, s * tk)
+    valid_f = jnp.swapaxes(valid, 0, 1).reshape(b, s * tk)
+    m_bound = jnp.max(bound_s, axis=0)  # (B,)
+    all_closed = jnp.all(bound_s == _NEG_INF, axis=0)
+
+    def one(args):
+        kf, sf, lf, vf = args
+        kk = jnp.where(vf, kf, k_total)
+        kk2, _, sf2, lf2 = jax.lax.sort((kk, -sf, sf, lf), num_keys=2)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), kk2[1:] != kk2[:-1]]
+        )
+        mvalid = first & (kk2 < k_total)
+        unique = jnp.sum(mvalid.astype(jnp.int32))
+        neg = jnp.where(mvalid, -sf2, np.float32(np.inf))
+        neg_sorted, _, out_key, out_score = jax.lax.sort(
+            (neg, jnp.where(mvalid, lf2, np.int32(2**30)), kk2, sf2),
+            num_keys=3,
+        )
+        lim_idx = min(max(limit - 1, 0), s * tk - 1)
+        sigma = -neg_sorted[lim_idx]
+        return unique, out_key[:tk], out_score[:tk], sigma
+
+    unique, out_keys, out_scores, sigma = jax.vmap(one)(
+        (keys_f, scores_f, lens_f, valid_f)
+    )
+    exact = all_closed | ((unique >= limit) & (sigma > m_bound))
+    count = jnp.where(all_closed, unique, jnp.minimum(unique, limit))
+    return count, out_keys, out_scores, exact
+
+
+def sharded_candidates_step(
+    leaves: dict,
+    qtokens, qlens, qslots, n_qgrams, use_short, promo_ids, limits,
     threshold,
     *,
     mesh: Mesh,
-    use_short: bool,
-    brute_long: bool,
+    front: str,  # "matmul" | "runs"
+    compute_short: bool,
     s_cap: int,
+    n_cand: int,
+    n_edge: int,
+    promo_edges: int,
     top_k: int,
-    key_len,
+    block_sel: bool,
+    limit: int,
 ):
-    """One replicated-query search over the term-sharded index.
+    """Batched candidate-sparse search over the term-sharded index.
 
-    ``sx_leaves`` is the dict of stacked per-shard arrays plus replicated
-    key arrays.  Jit this whole function (shard_map inside).
-    """
-
-    stacked_names = (
-        "short_tokens", "short_lengths", "long_tokens", "long_lengths",
-        "gram_ptr", "gram_terms", "edge_term", "edge_key", "edge_weight",
-    )
-
+    Each shard runs the exact candidate kernel on its chunk (local top-k +
+    soundness bound); results all_gather (S * B * top_k triples) and merge
+    replicated.  Rows whose merged guard fails are retried densely by the
+    host (ShardedEngine), mirroring the single-chip escalation ladder."""
     in_specs = (
-        {n: (P(AXIS) if n in stacked_names else P()) for n in sx_leaves},
-        P(), P(), P(), P(), P(),
+        {n: (P(AXIS) if n in _STACKED else P()) for n in leaves},
+        P(), P(), P(), P(), P(), P(), P(), P(),
     )
 
-    def shard_fn(leaves, qtok, ql, qsl, nqg, thr):
-        di = _GhostKeys(
-            **{n: (leaves[n][0] if n in stacked_names else leaves[n])
-               for n in leaves}
+    def shard_fn(lv, qt, ql, qs, ng, us, pr, lim, thr):
+        di = _ShardView(lv, strip=True)
+        pt, xt = lv["pt"][0], lv["xt"][0]
+        if front == "matmul":
+            cnt, keys, scores, lens, bound = candidates_matmul_impl(
+                di, lv["gm"][0], pt, xt, qt, ql, qs, ng, us, pr, lim, thr,
+                compute_short=compute_short, n_cand=n_cand, n_edge=n_edge,
+                promo_edges=promo_edges, top_k=top_k, block_sel=block_sel,
+                with_bound=True,
+            )
+        else:
+            cnt, keys, scores, lens, bound = candidates_runs_impl(
+                di, pt, xt, qt, ql, qs, ng, us, pr, lim, thr,
+                compute_short=compute_short, s_cap=s_cap, n_cand=n_cand,
+                n_edge=n_edge, promo_edges=promo_edges, top_k=top_k,
+                block_sel=block_sel, with_bound=True,
+            )
+        return (
+            cnt[None], keys[None], scores[None], lens[None], bound[None]
         )
-        s_a, mask_a, s_b, mask_b = _term_scores(
-            di, qtok, ql, qsl, nqg,
-            use_short=use_short, brute_long=brute_long, s_cap=s_cap,
-        )
-        eq_key = _key_eq_query(di, qtok, ql)
-        key_val, promo = _propagate_raw(
-            di, s_a, mask_a, s_b, mask_b, eq_key, thr
-        )
-        key_val = jax.lax.pmax(key_val, AXIS)
-        promo = jax.lax.pmax(promo, AXIS)
-        return key_val, promo
 
-    key_val, promo = jax.shard_map(
-        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
+    cnt_s, keys_s, scores_s, lens_s, bound_s = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         check_vma=False,
-    )(sx_leaves, qtokens, qlen, qslots, n_qgrams, threshold)
+    )(leaves, qtokens, qlens, qslots, n_qgrams, use_short, promo_ids,
+      limits, threshold)
 
-    # drop the ghost key, floor, promote, rank
-    score, reached = _floor_and_promote(key_val[:-1], promo[:-1])
-    k = key_len.shape[0]
-
-    class _FinalView:
-        n_keys = k
-
-        def __init__(self, kl):
-            self.key_len = kl
-
-    return _finalize(_FinalView(key_len), score, reached, top_k)
+    k_total = leaves["key_len"].shape[0]
+    return _merge_shard_topk(
+        cnt_s, keys_s, scores_s, lens_s, bound_s, k_total, limit, top_k
+    )
 
 
-def sharded_search_batch_step(
-    sx_leaves: dict,
-    qtokens,  # (B, Qp)
-    qlens,  # (B,)
-    qslots,  # (B, Qmax)
-    n_qgrams,  # (B,)
-    use_short,  # (B,) bool
-    threshold,
+# ---------------------------------------------------------------------------
+# dense sharded steps (wildcard / brute / retry): per-key pmax merge
+# ---------------------------------------------------------------------------
+
+
+class _FinalView:
+    def __init__(self, key_len):
+        self.key_len = key_len
+        self.n_keys = key_len.shape[0]
+
+
+def sharded_dense_batch_step(
+    leaves: dict,
+    qtokens, qlens, qslots, n_qgrams, use_short, threshold,
     *,
     mesh: Mesh,
     compute_short: bool,
+    brute: bool,
     s_cap: int,
     top_k: int,
-    key_len,
 ):
-    """Batched replicated-query search over the term-sharded index.
-
-    One dispatch scores B queries: each shard computes vmapped per-key raw
-    maxima on its term chunk, the (B, K+1) maxima and promotion flags merge
-    with one pmax pair over the mesh axis, and ranking runs replicated.
-    ICI cost per batch = 2 * B * (K+1) values - independent of shard count.
-    """
-    stacked_names = (
-        "short_tokens", "short_lengths", "long_tokens", "long_lengths",
-        "gram_ptr", "gram_terms", "edge_term", "edge_key", "edge_weight",
-    )
+    """Batched dense sharded search: each shard scores every local term,
+    propagates to a (K+1,) raw key-max vector, and the vectors merge with
+    one pmax pair over the mesh axis.  ``brute`` adds the whole-tier DP the
+    reference applies to qlen <= gram_size queries (nGramSearch.hpp:247-253).
+    Used for brute-short queries and candidate-guard retries."""
     in_specs = (
-        {n: (P(AXIS) if n in stacked_names else P()) for n in sx_leaves},
+        {n: (P(AXIS) if n in _STACKED else P()) for n in leaves},
         P(), P(), P(), P(), P(), P(),
     )
 
-    def shard_fn(leaves, qtok, qls, qsl, nqg, us, thr):
-        di = _GhostKeys(
-            **{n: (leaves[n][0] if n in stacked_names else leaves[n])
-               for n in leaves}
-        )
+    def shard_fn(lv, qtok, qls, qsl, nqg, us, thr):
+        di = _ShardView(lv, strip=True)
 
         def one(args):
             qt, ql, sl, ng, u = args
-            qlen_f = jnp.maximum(ql.astype(jnp.float32), 1.0)
-            ts, tl = di.n_short, di.n_long
-            if compute_short:
-                from ..search.editdist import dp_match
-
-                m_short = dp_match(di.short_tokens, di.short_lengths, qt, ql)
-                s_short = m_short.astype(jnp.float32) / qlen_f
-            else:
-                s_short = jnp.zeros((ts,), jnp.float32)
-            s_a = jnp.concatenate([s_short, jnp.zeros((tl,), jnp.float32)])
-            mask_a = jnp.concatenate(
-                [jnp.broadcast_to(u, (ts,)), jnp.zeros((tl,), bool)]
+            s_a, mask_a, s_b, mask_b = _term_scores(
+                di, qt, ql, sl, ng,
+                use_short=compute_short, brute_long=brute, s_cap=s_cap,
             )
-            from ..search.overlap import gather_hits
-
-            hits = gather_hits(di.gram_ptr, di.gram_terms, sl, tl, s_cap)
-            s_b_long = hits.astype(jnp.float32) / jnp.maximum(
-                ng.astype(jnp.float32), 1.0
-            )
-            s_b = jnp.concatenate([jnp.zeros((ts,), jnp.float32), s_b_long])
-            mask_b = jnp.concatenate(
-                [jnp.zeros((ts,), bool), (hits > 0) & (ng > 0)]
-            )
+            if compute_short and not brute:
+                ts = di.n_short
+                mask_a = mask_a & jnp.concatenate(
+                    [jnp.broadcast_to(u, (ts,)),
+                     jnp.zeros((di.n_long,), bool)]
+                )
             eq_key = _key_eq_query(di, qt, ql)
             return _propagate_raw(di, s_a, mask_a, s_b, mask_b, eq_key, thr)
 
@@ -362,17 +523,9 @@ def sharded_search_batch_step(
     key_val, promo = jax.shard_map(
         shard_fn, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
         check_vma=False,
-    )(sx_leaves, qtokens, qlens, qslots, n_qgrams, use_short, threshold)
+    )(leaves, qtokens, qlens, qslots, n_qgrams, use_short, threshold)
 
-    k = key_len.shape[0]
-
-    class _FinalView:
-        n_keys = k
-
-        def __init__(self, kl):
-            self.key_len = kl
-
-    fv = _FinalView(key_len)
+    fv = _FinalView(leaves["key_len"])
 
     def rank(args):
         kv, pr = args
@@ -382,98 +535,178 @@ def sharded_search_batch_step(
     return jax.vmap(rank)((key_val, promo))
 
 
-class ShardedEngine:
-    """Query front end over a ShardedIndex (replicated queries)."""
+def sharded_wildcard_step(leaves: dict, *, mesh: Mesh, top_k: int):
+    """Wildcard '' / '*': every key at its max edge weight
+    (nGramSearch.hpp:356-369; see engine._wildcard_device - scores keep
+    their sign, no floor).  Per-shard segment-max + one pmax."""
+    in_specs = (
+        {n: (P(AXIS) if n in _STACKED else P()) for n in leaves},
+    )
+
+    def shard_fn(lv):
+        di = _ShardView(lv, strip=True)
+        k1 = leaves["key_len"].shape[0] + 1
+        val = jax.ops.segment_max(
+            di.edge_weight, di.edge_key, num_segments=k1
+        )
+        return jax.lax.pmax(val, AXIS)
+
+    val = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=P(),
+        check_vma=False,
+    )(leaves)
+    score = val[:-1]
+    reached = score > _NEG_INF
+    score = jnp.where(reached, score, 0.0)
+    return _finalize(_FinalView(leaves["key_len"]), score, reached, top_k)
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+
+class ShardedEngine(SearchEngine):
+    """Query front end over a ShardedIndex.
+
+    Inherits only the HOST-side helpers from SearchEngine (normalization,
+    gram-slot lookup, shape bucketing, result emit); every device dispatch
+    is a sharded step above.  The host index must stay host-resident
+    (build_index(..., to_device=False)); nothing here uploads an unsharded
+    leaf."""
 
     def __init__(self, sharded: ShardedIndex, mesh: Mesh):
+        super().__init__(sharded.host)
         self.sx = sharded
         self.mesh = mesh
-        self.host = sharded.host
-        self.cfg = sharded.host.config
-        from ..search.engine import SearchEngine
-
-        self._front = SearchEngine(sharded.host)  # reuse query prep
         self._jitted = {}
+        self._dev: Optional[dict] = None
+        self._gm_built = False
+        self._wild_cache: dict = {}
+
+    # -- device placement -------------------------------------------------
 
     def _leaves(self) -> dict:
-        sx = self.sx
-        return {
-            "short_tokens": sx.short_tokens,
-            "short_lengths": sx.short_lengths,
-            "long_tokens": sx.long_tokens,
-            "long_lengths": sx.long_lengths,
-            "gram_ptr": sx.gram_ptr,
-            "gram_terms": sx.gram_terms,
-            "edge_term": sx.edge_term,
-            "edge_key": sx.edge_key,
-            "edge_weight": sx.edge_weight,
-            "key_norm_tokens": sx.key_norm_tokens,
-            "key_norm_lengths": sx.key_norm_lengths,
-        }
+        if self._dev is None:
+            dev = {}
+            for name, arr in self.sx.leaves.items():
+                spec = P(AXIS) if name in _STACKED else P()
+                tgt = NamedSharding(self.mesh, spec)
+                if arr.dtype == np.uint8 or arr.dtype == np.uint32:
+                    arr = arr.astype(np.int32)
+                dev[name] = jax.device_put(arr, tgt)
+            self._dev = dev
+        return self._dev
+
+    def _gram_matrix_stacked(self):
+        """(S, G, Tl_c) int8 per-shard gram incidence, built on device from
+        the sharded CSR, or None over budget.  Cached."""
+        if self._gm_built:
+            lv = self._dev or {}
+            return lv.get("gm")
+        self._gm_built = True
+        g = self.host.n_grams
+        tl_c = self.sx.tl_c
+        if g == 0 or tl_c == 0 or g * tl_c > self.GM_BUDGET:
+            return None
+        lv = self._leaves()
+
+        def build_fn(gram_ptr, gram_terms):
+            p = gram_terms.shape[1]
+            rows = (
+                jnp.searchsorted(
+                    gram_ptr[0],
+                    jnp.arange(p, dtype=gram_ptr.dtype), side="right",
+                ).astype(jnp.int32)
+                - 1
+            )
+            return (
+                jnp.zeros((1, g, tl_c), jnp.int8)
+                .at[0, rows, gram_terms[0]]
+                .set(1, mode="drop")
+            )
+
+        gm = jax.jit(
+            jax.shard_map(
+                build_fn, mesh=self.mesh, in_specs=(P(AXIS), P(AXIS)),
+                out_specs=P(AXIS), check_vma=False,
+            )
+        )(lv["gram_ptr"], lv["gram_terms"])
+        lv["gm"] = gm
+        return gm
+
+    # -- host-side prep overrides -----------------------------------------
+
+    def _prep_rows(self, chunk, qp, min_b: int = 16):
+        """Same buffers as the single-chip engine, but s_cap is the MAX over
+        shards of each query's local posting total (each shard expands only
+        its own postings)."""
+        from ..core import grams as gramlib
+
+        g = self.cfg.gram_size
+        qmax = qp - g + 1
+        lens2d = self.sx.host_shard_posting_lens
+        b = _next_pow2(len(chunk), min_b)
+        qtok = np.zeros((b, qp), dtype=np.int32)
+        qlens = np.zeros(b, dtype=np.int32)
+        slots = np.full((b, qmax), -1, dtype=np.int32)
+        nqg = np.zeros(b, dtype=np.int32)
+        use_short = np.zeros(b, dtype=bool)
+        s_total = 0
+        for r, item in enumerate(chunk):
+            _, qnorm, qlen = item[0], item[1], item[2]
+            qtok[r, :qlen] = qnorm[:qlen]
+            qlens[r] = qlen
+            use_short[r] = qlen < self.cfg.short_search_cutoff
+            if qlen >= g:
+                n = qlen - g + 1
+                nqg[r] = n
+                ids, valid = gramlib.gram_ids(
+                    qnorm[None, : max(qlen, g)], np.array([qlen]), g,
+                    self.cfg.wide, self.host.vocab,
+                )
+                row = self.host.lookup_gram_slots(ids[0][valid[0]])
+                slots[r, :n] = row
+                present = row[row >= 0]
+                if present.size:
+                    s_total = max(
+                        s_total, int(lens2d[:, present].sum(axis=1).max())
+                    )
+        s_cap = _next_pow2(max(s_total, 1), 1024)
+        return b, qtok, qlens, slots, nqg, use_short, s_cap
+
+    # -- public API --------------------------------------------------------
 
     def search(self, query, threshold: float = 0.0, limit: int = 0):
+        return self.search_batch([query], threshold, limit)[0]
+
+    def _search_impl(self, query, threshold: float = 0.0, limit: int = 0):
+        return self._search_batch_impl([query], threshold, limit, 256, 32,
+                                       "auto")[0]
+
+    def _wildcard(self, limit: int):
         from ..config import INT32_MAX
 
-        if not self.host.indexed:
-            return [], []
         if limit == 0:
             limit = INT32_MAX
-        raw = query if isinstance(query, str) else str(query)
-        top_k = self._front._top_k(limit)
-        if len(raw) == 0 or raw == "*":
-            # wildcard has no term scores; single-device path is exact
-            return self._front.search(raw, threshold, limit)
-
-        qnorm, qlen = self._front._normalize_query(raw)
-        if qlen == 0:
-            return [], []
-        qtok, qmax, slots, n_qgrams, _ = self._front._query_buffers(qnorm, qlen)
-        # cap from the max over shards of this query's local postings
-        lens = self.sx.host_shard_posting_lens
-        present = slots[slots >= 0]
-        s_total = int(lens[:, present].sum(axis=1).max()) if present.size else 0
-        s_cap = 128
-        while s_cap < max(s_total, 1):
-            s_cap *= 2
-
-        use_short = qlen < self.cfg.short_search_cutoff
-        brute_long = qlen <= self.cfg.brute_force_cutoff
-        static_key = (use_short, brute_long, s_cap, top_k)
-        if static_key not in self._jitted:
-            self._jitted[static_key] = jax.jit(
-                functools.partial(
-                    sharded_search_step,
-                    mesh=self.mesh,
-                    use_short=use_short,
-                    brute_long=brute_long,
-                    s_cap=s_cap,
-                    top_k=top_k,
-                    key_len=self.sx.key_len,
-                )
+        top_k = self._top_k(limit)
+        cached = self._wild_cache.get(top_k)
+        if cached is None:
+            res = sharded_wildcard_step(
+                self._leaves(), mesh=self.mesh, top_k=top_k
             )
-        count, ids, scores = self._jitted[static_key](
-            self._leaves(),
-            jnp.asarray(qtok),
-            np.int32(qlen),
-            jnp.asarray(slots),
-            np.int32(n_qgrams),
-            np.float32(threshold),
-        )
-        count, ids_np, scores_np = jax.device_get((count, ids, scores))
+            cached = jax.device_get(res)
+            self._wild_cache[top_k] = cached
+        count, ids_np, scores_np = cached
         n = min(int(count), limit, int(ids_np.shape[0]))
         return (
             [self.host.key_strings[i] for i in ids_np[:n]],
             [float(s) for s in scores_np[:n]],
         )
 
-    def search_batch(
-        self, queries, threshold: float = 0.0, limit: int = 100,
-        batch_bucket: int = 256, qp_bucket: int = 32,
+    def _search_batch_impl(
+        self, queries, threshold, limit, batch_bucket, qp_bucket, mode
     ):
-        """Batched sharded search; one dispatch per chunk of queries.
-
-        Wildcards, brute-force-short and over-length queries fall back to
-        the per-query path (same rule as the single-chip engine)."""
         from ..config import INT32_MAX
 
         if limit == 0:
@@ -482,89 +715,254 @@ class ShardedEngine:
         if not self.host.indexed:
             return [([], [])] * len(queries)
 
-        items = []
+        want_cand = mode != "dense" and limit <= self.CAND_MAX_LIMIT
+        ke_counts = self.host.host_key_edge_counts
+        items, brute_items, long_items = [], [], []
         for i, q in enumerate(queries):
             raw = q if isinstance(q, str) else str(q)
             if len(raw) == 0 or raw == "*":
-                out[i] = self.search(raw, threshold, limit)
+                if self.sx.leaves["edge_key"].size == 0:
+                    out[i] = ([], [])
+                else:
+                    out[i] = self._wildcard(limit)
                 continue
-            qnorm, qlen = self._front._normalize_query(raw)
+            qnorm, qlen = self._normalize_query(raw)
             if qlen == 0:
                 out[i] = ([], [])
-            elif qlen <= self.cfg.brute_force_cutoff or qlen > qp_bucket:
-                out[i] = self.search(raw, threshold, limit)
+            elif qlen <= self.cfg.brute_force_cutoff:
+                brute_items.append((i, qnorm, qlen))
+            elif qlen > qp_bucket:
+                long_items.append((i, qnorm, qlen))
             else:
-                items.append((i, qnorm, qlen))
-        if not items:
-            return out
+                promo = None
+                if want_cand:
+                    pids = self.host.promo_key_ids(qnorm, qlen)
+                    if pids.size <= self.PROMO_KEYS and (
+                        pids.size == 0
+                        or int(ke_counts[pids].max()) <= self.PROMO_EDGES
+                    ):
+                        promo = pids
+                items.append((i, qnorm, qlen, promo))
 
-        top_k = self._front._top_k(limit)
-        lens = self.sx.host_shard_posting_lens
-        g = self.cfg.gram_size
-        from ..core import grams as gramlib
+        cand_items = [it for it in items if want_cand and it[3] is not None]
+        dense_items = [
+            it for it in items if not (want_cand and it[3] is not None)
+        ]
 
-        for lo in range(0, len(items), batch_bucket):
-            chunk = items[lo : lo + batch_bucket]
-            b = 16
-            while b < len(chunk):
-                b *= 2
-            qp = qp_bucket
-            qmax = qp - g + 1
-            qtok = np.zeros((b, qp), dtype=np.int32)
-            qlens = np.zeros(b, dtype=np.int32)
-            slots = np.full((b, qmax), -1, dtype=np.int32)
-            nqg = np.zeros(b, dtype=np.int32)
-            us = np.zeros(b, dtype=bool)
-            s_total = 0
-            for r, (pos, qnorm, qlen) in enumerate(chunk):
-                qtok[r, :qlen] = qnorm[:qlen]
-                qlens[r] = qlen
-                us[r] = qlen < self.cfg.short_search_cutoff
-                if qlen >= g:
-                    n = qlen - g + 1
-                    nqg[r] = n
-                    ids, valid = gramlib.gram_ids(
-                        qnorm[None, : max(qlen, g)], np.array([qlen]), g,
-                        self.cfg.wide, self.host.vocab,
+        if cand_items:
+            retry = self._run_candidate_chunks(
+                cand_items, threshold, limit, batch_bucket, qp_bucket, out
+            )
+            dense_items.extend(retry)
+        if dense_items:
+            self._run_dense_chunks(
+                dense_items, threshold, limit, batch_bucket, qp_bucket, out
+            )
+        for lo in range(0, len(long_items), 8):
+            chunk = long_items[lo : lo + 8]
+            qp = _next_pow2(max(it[2] for it in chunk), qp_bucket)
+            self._run_dense_chunks(chunk, threshold, limit, 8, qp, out)
+        if brute_items:
+            self._run_brute_chunks(brute_items, threshold, limit, out)
+        return out
+
+    # -- dispatch helpers --------------------------------------------------
+
+    def _run_candidate_chunks(
+        self, items, threshold, limit, batch_bucket, qp, out
+    ):
+        retry, n_used, n_avail = self._cand_pass(
+            items, threshold, limit, batch_bucket, qp, out,
+            self.CAND_TERMS_FAST,
+        )
+        if retry and n_used < min(self.CAND_TERMS, n_avail):
+            retry, _, _ = self._cand_pass(
+                retry, threshold, limit, batch_bucket, qp, out,
+                self.CAND_TERMS,
+            )
+        return retry
+
+    def _cand_pass(self, items, threshold, limit, batch_bucket, qp, out,
+                   cand_cap):
+        from ..search.candidates import _BLK
+
+        lv = self._leaves()
+        ts_c, tl_c = self.sx.ts_c, self.sx.tl_c
+        x_total = int(lv["extra_key"].shape[1])
+        has_extras = bool(np.asarray(self.sx.leaves["extra_key"] >= 0).any())
+        n_edge = min(
+            max(_next_pow2(max(x_total, 1), 16), 16), self.CAND_EDGES
+        )
+        top_k = _next_pow2(limit, 16)
+
+        b_all, qtok, qlens, slots, nqg, use_short, s_cap = self._prep_rows(
+            items, qp
+        )
+        compute_short = bool(use_short.any()) and ts_c > 0
+        promo_all = np.full((b_all, self.PROMO_KEYS), -1, dtype=np.int32)
+        for r, item in enumerate(items):
+            pids = item[3]
+            promo_all[r, : pids.size] = pids
+
+        gm = self._gram_matrix_stacked()
+        front = "matmul" if gm is not None else "runs"
+        if front == "matmul":
+            n_lanes = (ts_c if compute_short else 0) + tl_c
+            per_q = 48 * (ts_c + tl_c) + 24 * n_edge + (1 << 16)
+        else:
+            n_lanes = (ts_c if compute_short else 0) + s_cap
+            per_q = (
+                48 * s_cap + 24 * n_edge
+                + (48 * ts_c if compute_short else 0) + (1 << 16)
+            )
+        n_cand = min(cand_cap, max(_next_pow2(n_lanes, 16), 16), n_lanes)
+        block_sel = n_lanes >= 4 * n_cand * _BLK
+        cap = max(int(self.BATCH_HBM_BUDGET // per_q), 8)
+        step = 8
+        while step * 2 <= min(cap, batch_bucket):
+            step *= 2
+
+        static_key = (front, compute_short, s_cap, n_cand, n_edge, top_k,
+                      block_sel, limit)
+        fn = self._jitted.get(static_key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    sharded_candidates_step,
+                    mesh=self.mesh,
+                    front=front,
+                    compute_short=compute_short,
+                    s_cap=s_cap,
+                    n_cand=n_cand,
+                    n_edge=n_edge,
+                    promo_edges=self.PROMO_EDGES,
+                    top_k=top_k,
+                    block_sel=block_sel,
+                    limit=min(limit, 2**30),
+                )
+            )
+            self._jitted[static_key] = fn
+
+        pending = []
+        for lo in range(0, len(items), step):
+            hi = min(lo + step, len(items))
+            b = _next_pow2(hi - lo, min(step, 16))
+            sl = slice(lo, lo + b)
+            lim_arr = np.full((b,), min(limit, 2**30), dtype=np.int32)
+            res = fn(
+                lv,
+                jnp.asarray(qtok[sl]), jnp.asarray(qlens[sl]),
+                jnp.asarray(slots[sl]), jnp.asarray(nqg[sl]),
+                jnp.asarray(use_short[sl]), jnp.asarray(promo_all[sl]),
+                jnp.asarray(lim_arr), np.float32(threshold),
+            )
+            pending.append((lo, hi, res))
+
+        retry = []
+        for lo, hi, res in pending:
+            counts, ids_b, scores_b, exact = jax.device_get(res)
+            for r, item in enumerate(items[lo:hi]):
+                if exact[r]:
+                    self._emit_row(
+                        out, item[0], counts[r], ids_b[r], scores_b[r], limit
                     )
-                    row = self.host.lookup_gram_slots(ids[0][valid[0]])
-                    slots[r, :n] = row
-                    present = row[row >= 0]
-                    if present.size:
-                        s_total = max(
-                            s_total,
-                            int(lens[:, present].sum(axis=1).max()),
-                        )
-            s_cap = 128
-            while s_cap < max(s_total, 1):
-                s_cap *= 2
+                else:
+                    retry.append(item)
+        return retry, n_cand, n_lanes
 
-            static_key = ("batch", bool(us.any()), s_cap, top_k, b)
-            if static_key not in self._jitted:
-                self._jitted[static_key] = jax.jit(
+    def _run_dense_chunks(self, items, threshold, limit, batch_bucket, qp,
+                          out):
+        top_k = self._top_k(limit)
+        tc = self.sx.ts_c + self.sx.tl_c
+        per_query = 48 * max(tc, 1) + 8 * (self.sx.n_keys + 1) + (1 << 20)
+        cap = max(int(self.BATCH_HBM_BUDGET // per_query), 8)
+        bb = 8
+        while bb * 2 <= min(cap, batch_bucket):
+            bb *= 2
+        lv = self._leaves()
+        pending = []
+        for lo in range(0, len(items), bb):
+            chunk = items[lo : lo + bb]
+            b, qtok, qlens, slots, nqg, use_short, s_cap = self._prep_rows(
+                chunk, qp
+            )
+            compute_short = bool(use_short.any()) and self.sx.ts_c > 0
+            static_key = ("dense", compute_short, False, s_cap, top_k, qp)
+            fn = self._jitted.get(static_key)
+            if fn is None:
+                fn = jax.jit(
                     functools.partial(
-                        sharded_search_batch_step,
+                        sharded_dense_batch_step,
                         mesh=self.mesh,
-                        compute_short=bool(us.any()),
+                        compute_short=compute_short,
+                        brute=False,
                         s_cap=s_cap,
                         top_k=top_k,
-                        key_len=self.sx.key_len,
                     )
                 )
-            counts, ids_b, scores_b = self._jitted[static_key](
-                self._leaves(),
-                jnp.asarray(qtok),
-                jnp.asarray(qlens),
-                jnp.asarray(slots),
-                jnp.asarray(nqg),
-                jnp.asarray(us),
+                self._jitted[static_key] = fn
+            res = fn(
+                lv,
+                jnp.asarray(qtok), jnp.asarray(qlens), jnp.asarray(slots),
+                jnp.asarray(nqg), jnp.asarray(use_short),
                 np.float32(threshold),
             )
-            counts, ids_b, scores_b = jax.device_get((counts, ids_b, scores_b))
-            for r, (pos, _, _) in enumerate(chunk):
-                n = min(int(counts[r]), limit, ids_b.shape[1])
-                out[pos] = (
-                    [self.host.key_strings[j] for j in ids_b[r, :n]],
-                    [float(s) for s in scores_b[r, :n]],
+            pending.append((chunk, res))
+        for chunk, res in pending:
+            counts, ids_b, scores_b = jax.device_get(res)
+            for r, item in enumerate(chunk):
+                self._emit_row(
+                    out, item[0], counts[r], ids_b[r], scores_b[r], limit
                 )
-        return out
+
+    def _run_brute_chunks(self, items, threshold, limit, out):
+        """qlen <= gram_size: whole-tier DP on every shard (the reference's
+        long-lib brute fallback, nGramSearch.hpp:247-253), per-key pmax."""
+        top_k = self._top_k(limit)
+        g = self.cfg.gram_size
+        qp = max(_next_pow2(self.cfg.brute_force_cutoff + 1, 8), g + 1)
+        lv = self._leaves()
+        w = max(
+            int(self.sx.leaves["short_tokens"].shape[2] or 1),
+            int(self.sx.leaves["long_tokens"].shape[2] or 1),
+        )
+        tc = self.sx.ts_c + self.sx.tl_c
+        per_q = 12 * max(tc, 1) * (w + 2) + 8 * (self.sx.n_keys + 1) + (1 << 18)
+        cap = max(int(self.BATCH_HBM_BUDGET // per_q), 1)
+        step = 1
+        while step * 2 <= min(cap, 64):
+            step *= 2
+
+        pending = []
+        for lo in range(0, len(items), step):
+            chunk = items[lo : lo + step]
+            b, qtok, qlens, slots, nqg, _, s_cap = self._prep_rows(
+                chunk, qp, min_b=min(step, 16)
+            )
+            static_key = ("brute", s_cap, top_k, b)
+            fn = self._jitted.get(static_key)
+            if fn is None:
+                fn = jax.jit(
+                    functools.partial(
+                        sharded_dense_batch_step,
+                        mesh=self.mesh,
+                        compute_short=True,
+                        brute=True,
+                        s_cap=s_cap,
+                        top_k=top_k,
+                    )
+                )
+                self._jitted[static_key] = fn
+            res = fn(
+                lv,
+                jnp.asarray(qtok), jnp.asarray(qlens), jnp.asarray(slots),
+                jnp.asarray(nqg), jnp.asarray(np.ones(b, bool)),
+                np.float32(threshold),
+            )
+            pending.append((chunk, res))
+        for chunk, res in pending:
+            counts, ids_b, scores_b = jax.device_get(res)
+            for r, item in enumerate(chunk):
+                self._emit_row(
+                    out, item[0], counts[r], ids_b[r], scores_b[r], limit
+                )

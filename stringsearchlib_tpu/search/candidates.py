@@ -105,6 +105,7 @@ def _select_candidates(u_all, n_pass, *, n_cand, block_sel):
 def _finish_candidates(
     di, pt, xt, u_all, s_all, gid_all, n_pass, term_score, promo, limit,
     threshold, *, n_cand, n_edge, promo_edges, top_k, block_sel=False,
+    with_bound=False,
 ):
     """From per-lane upper bounds/scores to the final ranked slice.
 
@@ -122,13 +123,13 @@ def _finish_candidates(
     return _finish_selected(
         di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score,
         promo, limit, threshold, n_edge=n_edge, promo_edges=promo_edges,
-        top_k=top_k,
+        top_k=top_k, with_bound=with_bound,
     )
 
 
 def _finish_selected(
     di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score, promo,
-    limit, threshold, *, n_edge, promo_edges, top_k,
+    limit, threshold, *, n_edge, promo_edges, top_k, with_bound=False,
 ):
     """Back half shared by every candidate front end: from selected
     (term id, exact score, validity) triples plus selection bounds to the
@@ -250,6 +251,31 @@ def _finish_selected(
         num_keys=3,
     )
 
+    if with_bound:
+        # Cross-shard merge mode (parallel.dist): instead of a local exact
+        # flag, export a sound upper bound on the local contribution of any
+        # key NOT present in the returned top_k slice:
+        #   * unselected terms contribute at most max(u_c, 0) (entryScore
+        #     floors at 0, nGramSearch.hpp:326) unless selection covered
+        #     all passers;
+        #   * keys truncated by the top_k slice scored at most the last
+        #     returned (already-floored) score;
+        #   * extra-edge overflow voids the bound entirely (+inf -> the
+        #     merged guard fails and the host retries densely).
+        # The merged guard (sharded_candidates_step) is exact whenever the
+        # merged limit-th score strictly exceeds the max shard bound.
+        tau = jnp.where(
+            reached_total > top_k, out_score[top_k - 1], _NEG_INF
+        )
+        miss = jnp.where(covered, _NEG_INF, jnp.maximum(u_c, 0.0))
+        bound = jnp.where(
+            overflow, np.float32(np.inf), jnp.maximum(miss, tau)
+        )
+        return (
+            reached_total, out_key[:top_k], out_score[:top_k],
+            out_len[:top_k], bound,
+        )
+
     # -- exactness ---------------------------------------------------------
     lim_idx = jnp.clip(limit - 1, 0, neg.shape[0] - 1)
     sigma_l = -neg_sorted[lim_idx]  # limit-th best valid score
@@ -303,6 +329,7 @@ def candidates_matmul_impl(
     promo_edges: int,
     top_k: int,
     block_sel: bool = False,
+    with_bound: bool = False,
 ):
     ts, tl = di.n_short, di.n_long
     compute_short = compute_short and ts > 0
@@ -372,6 +399,7 @@ def candidates_matmul_impl(
             di, pt, xt, u_all, s_all, gid_all, n_pass, term_score, promo,
             limit, threshold, n_cand=n_cand, n_edge=n_edge,
             promo_edges=promo_edges, top_k=top_k, block_sel=block_sel,
+            with_bound=with_bound,
         )
 
     return jax.vmap(one)(
@@ -383,7 +411,7 @@ candidates_matmul = functools.partial(
     jax.jit,
     static_argnames=(
         "compute_short", "n_cand", "n_edge", "promo_edges", "top_k",
-        "block_sel",
+        "block_sel", "with_bound",
     ),
 )(candidates_matmul_impl)
 
@@ -413,6 +441,7 @@ def candidates_runs_impl(
     promo_edges: int,
     top_k: int,
     block_sel: bool = False,
+    with_bound: bool = False,
 ):
     ts, tl = di.n_short, di.n_long
     compute_short = compute_short and ts > 0
@@ -514,6 +543,7 @@ def candidates_runs_impl(
             di, pt, xt, u_all, s_all, gid_all, n_pass, term_score, promo,
             limit, threshold, n_cand=n_cand, n_edge=n_edge,
             promo_edges=promo_edges, top_k=top_k, block_sel=block_sel,
+            with_bound=with_bound,
         )
 
     # vmap, not lax.map: a serial device loop pays per-op latency per query
@@ -529,7 +559,7 @@ candidates_runs = functools.partial(
     jax.jit,
     static_argnames=(
         "compute_short", "s_cap", "n_cand", "n_edge", "promo_edges", "top_k",
-        "block_sel",
+        "block_sel", "with_bound",
     ),
 )(candidates_runs_impl)
 
