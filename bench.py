@@ -104,8 +104,10 @@ def _run_config(words, n_queries, threshold, limit, reps, singles=0):
 
     # warmup: build the front-end tables + compile this query set's variants
     gm = host.gram_matrix(engine.GM_BUDGET)
-    sk = None
+    bm = sk = None
     if gm is None:
+        bm = host.bitmap_tables(engine.BITMAP_BUDGET)
+    if gm is None and bm is None:
         sk = host.sketch_tables(engine.SKETCH_BUDGET)
     engine.search_batch(queries, threshold, limit, batch_bucket=batch)
 
@@ -126,7 +128,9 @@ def _run_config(words, n_queries, threshold, limit, reps, singles=0):
         "n_keys": len(words),
         "n_grams": host.n_grams,
         "hits_path": "matmul" if gm is not None else (
-            "sketch" if sk is not None else "runs"
+            "bitmap" if bm is not None else (
+                "sketch" if sk is not None else "runs"
+            )
         ),
     }
     if singles:
@@ -138,7 +142,7 @@ def _run_config(words, n_queries, threshold, limit, reps, singles=0):
         out["single_query_p50_ms"] = round(
             (time.perf_counter() - t2) / len(qs) * 1e3, 3
         )
-    del engine, host, gm, sk
+    del engine, host, gm, bm, sk
     gc.collect()
     return out
 

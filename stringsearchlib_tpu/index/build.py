@@ -163,6 +163,60 @@ class HostIndex:
         self._gram_matrix_cache = gm
         return gm
 
+    _bitmap_cache: object = dataclasses.field(default=None, repr=False)
+
+    def bitmap_tables(self, budget_bytes: int = 6 << 30):
+        """Bit-packed gram->long-term incidence (G, ceil(Tl_pad/8)) uint8,
+        or None over ``budget_bytes``.
+
+        The EXACT middle regime between the dense int8 matmul (G * Tl
+        bytes) and the lossy bucket sketch: 8 terms per byte puts a
+        10M-key gram-dense corpus (G ~ 3k) at ~3.4 GB - resident where the
+        matmul operand cannot be.  The search front end
+        (search.candidates.candidates_bitmap) gathers each query gram's
+        row and accumulates bit-expanded hit counts - the reference's
+        posting-accumulation loop (nGramSearch.hpp:289-298) as a
+        bandwidth-bound VPU pass with no count inflation, so the
+        candidate exactness guard behaves identically to the matmul path.
+
+        Built ON DEVICE from the resident CSR (one scatter-add; distinct
+        terms within a gram own distinct bits, so add == or).  Returns
+        (bm, tl_pad); cached per index."""
+        if self._bitmap_cache is not None:
+            bm = self._bitmap_cache
+            return None if bm is False else bm
+        g = self.n_grams
+        tl = int(self.device.long_lengths.shape[0])
+        tl_pad = -(-max(tl, 1) // 1024) * 1024  # 8 bits x 128-lane blocks
+        if g == 0 or tl == 0 or g * (tl_pad // 8) > budget_bytes:
+            self._bitmap_cache = False
+            return None
+        import jax
+
+        @functools.partial(jax.jit, static_argnums=(2, 3))
+        def _build(gram_ptr, gram_terms, g, n_bytes):
+            p = gram_terms.shape[0]
+            rows = (
+                jnp.searchsorted(
+                    gram_ptr, jnp.arange(p, dtype=gram_ptr.dtype),
+                    side="right",
+                ).astype(jnp.int32)
+                - 1
+            )
+            byte = gram_terms // 8
+            bit = (gram_terms % 8).astype(jnp.uint8)
+            return (
+                jnp.zeros((g, n_bytes), jnp.uint8)
+                .at[rows, byte]
+                .add(jnp.uint8(1) << bit, mode="drop")
+            )
+
+        bm = _build(
+            self.device.gram_ptr, self.device.gram_terms, g, tl_pad // 8
+        )
+        self._bitmap_cache = (bm, tl_pad)
+        return self._bitmap_cache
+
     _sketch_cache: object = dataclasses.field(default=None, repr=False)
 
     def sketch_tables(self, budget_bytes: int = 6 << 30, max_tgw: int = 128):

@@ -586,15 +586,28 @@ class ShardedEngine(SearchEngine):
 
     # -- device placement -------------------------------------------------
 
+    def _place(self, arr: np.ndarray, spec) -> jax.Array:
+        """Host array -> device array with the given PartitionSpec.  The
+        multi-host engine overrides this to assemble global arrays from
+        process-local shards."""
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+    def _rep(self, arr) -> jax.Array:
+        """Replicated placement for per-batch query buffers."""
+        return self._place(np.asarray(arr), P())
+
+    def _out_shardings(self):
+        """Forces step outputs replicated so every process can fetch them."""
+        return NamedSharding(self.mesh, P())
+
     def _leaves(self) -> dict:
         if self._dev is None:
             dev = {}
             for name, arr in self.sx.leaves.items():
                 spec = P(AXIS) if name in _STACKED else P()
-                tgt = NamedSharding(self.mesh, spec)
                 if arr.dtype == np.uint8 or arr.dtype == np.uint32:
                     arr = arr.astype(np.int32)
-                dev[name] = jax.device_put(arr, tgt)
+                dev[name] = self._place(arr, spec)
             self._dev = dev
         return self._dev
 
@@ -692,9 +705,12 @@ class ShardedEngine(SearchEngine):
         top_k = self._top_k(limit)
         cached = self._wild_cache.get(top_k)
         if cached is None:
-            res = sharded_wildcard_step(
-                self._leaves(), mesh=self.mesh, top_k=top_k
-            )
+            res = jax.jit(
+                functools.partial(
+                    sharded_wildcard_step, mesh=self.mesh, top_k=top_k
+                ),
+                out_shardings=self._out_shardings(),
+            )(self._leaves())
             cached = jax.device_get(res)
             self._wild_cache[top_k] = cached
         count, ids_np, scores_np = cached
@@ -839,7 +855,8 @@ class ShardedEngine(SearchEngine):
                     top_k=top_k,
                     block_sel=block_sel,
                     limit=min(limit, 2**30),
-                )
+                ),
+                out_shardings=self._out_shardings(),
             )
             self._jitted[static_key] = fn
 
@@ -851,10 +868,10 @@ class ShardedEngine(SearchEngine):
             lim_arr = np.full((b,), min(limit, 2**30), dtype=np.int32)
             res = fn(
                 lv,
-                jnp.asarray(qtok[sl]), jnp.asarray(qlens[sl]),
-                jnp.asarray(slots[sl]), jnp.asarray(nqg[sl]),
-                jnp.asarray(use_short[sl]), jnp.asarray(promo_all[sl]),
-                jnp.asarray(lim_arr), np.float32(threshold),
+                self._rep(qtok[sl]), self._rep(qlens[sl]),
+                self._rep(slots[sl]), self._rep(nqg[sl]),
+                self._rep(use_short[sl]), self._rep(promo_all[sl]),
+                self._rep(lim_arr), np.float32(threshold),
             )
             pending.append((lo, hi, res))
 
@@ -898,13 +915,14 @@ class ShardedEngine(SearchEngine):
                         brute=False,
                         s_cap=s_cap,
                         top_k=top_k,
-                    )
+                    ),
+                    out_shardings=self._out_shardings(),
                 )
                 self._jitted[static_key] = fn
             res = fn(
                 lv,
-                jnp.asarray(qtok), jnp.asarray(qlens), jnp.asarray(slots),
-                jnp.asarray(nqg), jnp.asarray(use_short),
+                self._rep(qtok), self._rep(qlens), self._rep(slots),
+                self._rep(nqg), self._rep(use_short),
                 np.float32(threshold),
             )
             pending.append((chunk, res))
@@ -950,13 +968,14 @@ class ShardedEngine(SearchEngine):
                         brute=True,
                         s_cap=s_cap,
                         top_k=top_k,
-                    )
+                    ),
+                    out_shardings=self._out_shardings(),
                 )
                 self._jitted[static_key] = fn
             res = fn(
                 lv,
-                jnp.asarray(qtok), jnp.asarray(qlens), jnp.asarray(slots),
-                jnp.asarray(nqg), jnp.asarray(np.ones(b, bool)),
+                self._rep(qtok), self._rep(qlens), self._rep(slots),
+                self._rep(nqg), self._rep(np.ones(b, bool)),
                 np.float32(threshold),
             )
             pending.append((chunk, res))

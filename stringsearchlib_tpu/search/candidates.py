@@ -352,19 +352,43 @@ def candidates_matmul_impl(
     hits = jnp.dot(
         qcnt, gram_matrix, preferred_element_type=jnp.int32
     ).astype(jnp.float32)
+    return _dense_hits_finish(
+        di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
+        limits, threshold, compute_short=compute_short, n_cand=n_cand,
+        n_edge=n_edge, promo_edges=promo_edges, top_k=top_k,
+        block_sel=block_sel, with_bound=with_bound,
+    )
+
+
+def _dense_hits_finish(
+    di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
+    limits, threshold, *, compute_short, n_cand, n_edge, promo_edges,
+    top_k, block_sel, with_bound,
+):
+    """Shared back half for front ends that produce a dense (B, Tl[_pad])
+    EXACT hit-count matrix (MXU matmul / bit-packed bitmap): per-term
+    scores, selection, edge expansion, promotion, ranking, guard.  ``hits``
+    may be any integer/float dtype; columns beyond di.n_long are padding
+    (wmax 0, primary key -1) and can never reach a key."""
+    ts, tl = di.n_short, di.n_long
+    tlp = hits.shape[1]
 
     def one(args):
         qtok, qlen, hrow, nqg, us, promo, limit = args
+        hrow = hrow.astype(jnp.float32)
         qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
         nqg_f = jnp.maximum(nqg.astype(jnp.float32), 1.0)
 
         s_long = hrow / nqg_f
         pass_long = (hrow > 0) & (nqg > 0) & (s_long >= threshold)
         n_pass = jnp.sum(pass_long.astype(jnp.int32))
-        u_long = jnp.where(
-            pass_long, di.term_wmax[ts:] * s_long, _NEG_INF
+        wmax_long = di.term_wmax[ts:]
+        if tlp > tl:
+            wmax_long = jnp.pad(wmax_long, (0, tlp - tl))
+        u_long = jnp.where(pass_long, wmax_long * s_long, _NEG_INF)
+        gid_long = ts + jnp.minimum(
+            jnp.arange(tlp, dtype=jnp.int32), max(tl - 1, 0)
         )
-        gid_long = ts + jnp.arange(tl, dtype=jnp.int32)
 
         if compute_short:
             s_short, pass_short, u_short = _short_tier(
@@ -380,19 +404,19 @@ def candidates_matmul_impl(
             def term_score(p_t):
                 p_sh = p_t < ts
                 p_ss = s_short[jnp.clip(p_t, 0, max(ts - 1, 0))]
-                p_sl = s_long[jnp.clip(p_t - ts, 0, max(tl - 1, 0))]
+                p_sl = s_long[jnp.clip(p_t - ts, 0, tlp - 1)]
                 p_s = jnp.where(p_sh, p_ss, p_sl)
                 p_pass = jnp.where(
                     p_sh,
                     pass_short[jnp.clip(p_t, 0, max(ts - 1, 0))],
-                    pass_long[jnp.clip(p_t - ts, 0, max(tl - 1, 0))],
+                    pass_long[jnp.clip(p_t - ts, 0, tlp - 1)],
                 )
                 return p_s, p_pass
         else:
             u_all, s_all, gid_all = u_long, s_long, gid_long
 
             def term_score(p_t):
-                idx = jnp.clip(p_t - ts, 0, max(tl - 1, 0))
+                idx = jnp.clip(p_t - ts, 0, tlp - 1)
                 return s_long[idx], (p_t >= ts) & pass_long[idx]
 
         return _finish_candidates(
@@ -414,6 +438,72 @@ candidates_matmul = functools.partial(
         "block_sel", "with_bound",
     ),
 )(candidates_matmul_impl)
+
+
+# ---------------------------------------------------------------------------
+# front end A2: bit-packed bitmap hits (gram-dense corpora too big for A)
+# ---------------------------------------------------------------------------
+
+
+def candidates_bitmap_impl(
+    di,
+    bitmap,  # (G, Tl_pad/8) uint8 packed incidence (HostIndex.bitmap_tables)
+    pt,  # (T, 4) int32 primary-edge records
+    xt,  # (X, 4) int32 extra-edge records
+    qtokens,  # (B, Qp) int32
+    qlens,  # (B,) int32
+    qslots,  # (B, Qmax) int32 gram slots, -1 absent, multiplicity kept
+    n_qgrams,  # (B,) int32
+    use_short,  # (B,) bool
+    promo_ids,  # (B, PK) int32, -1 padded
+    limits,  # (B,) int32
+    threshold,  # () f32
+    *,
+    compute_short: bool,
+    n_cand: int,
+    n_edge: int,
+    promo_edges: int,
+    top_k: int,
+    block_sel: bool = False,
+    with_bound: bool = False,
+):
+    """EXACT hit counts from the bit-packed incidence: for each query gram
+    slot, gather its (Tl_pad/8,) row, expand bits, accumulate int8 counts
+    (duplicate query grams accumulate multiply - nGramSearch.hpp:289-297).
+    One bandwidth-bound VPU pass per slot; 8x the HBM reach of the int8
+    matmul operand, no MXU, no sketch inflation.  hits <= n_qgrams <= 127
+    so int8 accumulation is exact."""
+    ts = di.n_short
+    compute_short = compute_short and ts > 0
+    g_total = bitmap.shape[0]
+    b = qslots.shape[0]
+    tl_pad = bitmap.shape[1] * 8
+    bits = jnp.arange(8, dtype=jnp.uint8)
+
+    def step(acc, slot_col):
+        rows = bitmap[jnp.clip(slot_col, 0, max(g_total - 1, 0))]  # (B, Bp)
+        exp = ((rows[:, :, None] >> bits[None, None, :]) & jnp.uint8(1))
+        exp = exp.reshape(b, tl_pad).astype(jnp.int8)
+        acc = acc + jnp.where((slot_col >= 0)[:, None], exp, jnp.int8(0))
+        return acc, None
+
+    acc0 = jnp.zeros((b, tl_pad), jnp.int8)
+    hits, _ = jax.lax.scan(step, acc0, qslots.T)
+    return _dense_hits_finish(
+        di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
+        limits, threshold, compute_short=compute_short, n_cand=n_cand,
+        n_edge=n_edge, promo_edges=promo_edges, top_k=top_k,
+        block_sel=block_sel, with_bound=with_bound,
+    )
+
+
+candidates_bitmap = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "compute_short", "n_cand", "n_edge", "promo_edges", "top_k",
+        "block_sel", "with_bound",
+    ),
+)(candidates_bitmap_impl)
 
 
 # ---------------------------------------------------------------------------

@@ -608,6 +608,9 @@ class SearchEngine:
     # HBM budget for the dense gram->term incidence matrix (MXU hits path;
     # int8, so bytes == G * Tl)
     GM_BUDGET = 4 << 30
+    # HBM budget for the bit-packed incidence (G * Tl/8 bytes): the EXACT
+    # middle regime - 8x the matmul's reach, no sketch inflation
+    BITMAP_BUDGET = 6 << 30
     # HBM budget for the bucket-sketch incidence (search.sketch); D shrinks
     # to fit, floor 128 buckets
     SKETCH_BUDGET = 6 << 30
@@ -644,7 +647,9 @@ class SearchEngine:
         the long tier is huge (search.sketch), sorted-postings runs
         otherwise.  Returns (guard-failed rows, n_cand used, selectable
         lanes)."""
-        from .candidates import _BLK, candidates_matmul, candidates_runs
+        from .candidates import (
+            _BLK, candidates_bitmap, candidates_matmul, candidates_runs,
+        )
         from .sketch import candidates_sketch
 
         di = self.host.device
@@ -669,13 +674,26 @@ class SearchEngine:
             promo_all[r, : pids.size] = pids
 
         gm = self.host.gram_matrix(self.GM_BUDGET)
+        bm = None
+        if gm is None:
+            bm = self.host.bitmap_tables(self.BITMAP_BUDGET)
         sk = None
-        if gm is None and self.host.n_terms >= self.SKETCH_MIN_TERMS:
+        if (gm is None and bm is None
+                and self.host.n_terms >= self.SKETCH_MIN_TERMS):
             sk = self.host.sketch_tables(self.SKETCH_BUDGET)
         pt, xt = self.host.prim_tables()
         if gm is not None:
             n_lanes = (ts if compute_short else 0) + tl
             per_q = 48 * (ts + tl) + 24 * n_edge + (1 << 16)
+        elif bm is not None:
+            tlp = int(bm[1])
+            n_lanes = (ts if compute_short else 0) + tlp
+            per_q = (
+                8 * tlp
+                + 24 * n_edge
+                + (48 * ts if compute_short else 0)
+                + (1 << 16)
+            )
         elif sk is not None:
             tlp = int(sk[0].shape[1])
             n_lanes = (ts if compute_short else 0) + tl
@@ -714,6 +732,27 @@ class SearchEngine:
                 res = candidates_matmul(
                     di,
                     gm,
+                    pt,
+                    xt,
+                    jnp.asarray(qtok[sl]),
+                    jnp.asarray(qlens[sl]),
+                    jnp.asarray(slots[sl]),
+                    jnp.asarray(nqg[sl]),
+                    jnp.asarray(use_short[sl]),
+                    jnp.asarray(promo_all[sl]),
+                    lim_arr,
+                    np.float32(threshold),
+                    compute_short=compute_short,
+                    n_cand=n_cand,
+                    n_edge=n_edge,
+                    promo_edges=self.PROMO_EDGES,
+                    top_k=top_k,
+                    block_sel=block_sel,
+                )
+            elif bm is not None:
+                res = candidates_bitmap(
+                    di,
+                    bm[0],
                     pt,
                     xt,
                     jnp.asarray(qtok[sl]),
