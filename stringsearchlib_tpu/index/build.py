@@ -180,21 +180,28 @@ class HostIndex:
         candidate exactness guard behaves identically to the matmul path.
 
         Built ON DEVICE from the resident CSR (one scatter-add; distinct
-        terms within a gram own distinct bits, so add == or).  Returns
-        (bm, tl_pad); cached per index."""
+        terms within a gram own distinct bits, so add == or).  The byte
+        layout is the PLANE-TILED order of ops.bitmap_matmul (bit p of
+        byte j*BLKB+k holds term j*8*BLKB + p*BLKB + k), so the Pallas
+        unpack-matmul kernel can stream it tile-by-tile with no in-kernel
+        interleave; rows are padded to a 128 multiple for the MXU operand.
+        Returns (bm int8 (G_pad, Tl_pad/8), tl_pad); cached per index."""
         if self._bitmap_cache is not None:
             bm = self._bitmap_cache
             return None if bm is False else bm
+        from ..ops.bitmap_matmul import TILE_LANES, plane_coords
+
         g = self.n_grams
         tl = int(self.device.long_lengths.shape[0])
-        tl_pad = -(-max(tl, 1) // 1024) * 1024  # 8 bits x 128-lane blocks
-        if g == 0 or tl == 0 or g * (tl_pad // 8) > budget_bytes:
+        tl_pad = -(-max(tl, 1) // TILE_LANES) * TILE_LANES
+        g_pad = -(-max(g, 1) // 128) * 128
+        if g == 0 or tl == 0 or g_pad * (tl_pad // 8) > budget_bytes:
             self._bitmap_cache = False
             return None
         import jax
 
         @functools.partial(jax.jit, static_argnums=(2, 3))
-        def _build(gram_ptr, gram_terms, g, n_bytes):
+        def _build(gram_ptr, gram_terms, g_pad, n_bytes):
             p = gram_terms.shape[0]
             rows = (
                 jnp.searchsorted(
@@ -203,16 +210,16 @@ class HostIndex:
                 ).astype(jnp.int32)
                 - 1
             )
-            byte = gram_terms // 8
-            bit = (gram_terms % 8).astype(jnp.uint8)
-            return (
-                jnp.zeros((g, n_bytes), jnp.uint8)
+            byte, bit = plane_coords(gram_terms)
+            packed = (
+                jnp.zeros((g_pad, n_bytes), jnp.uint8)
                 .at[rows, byte]
-                .add(jnp.uint8(1) << bit, mode="drop")
+                .add(jnp.uint8(1) << bit.astype(jnp.uint8), mode="drop")
             )
+            return jax.lax.bitcast_convert_type(packed, jnp.int8)
 
         bm = _build(
-            self.device.gram_ptr, self.device.gram_terms, g, tl_pad // 8
+            self.device.gram_ptr, self.device.gram_terms, g_pad, tl_pad // 8
         )
         self._bitmap_cache = (bm, tl_pad)
         return self._bitmap_cache

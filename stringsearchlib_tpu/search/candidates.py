@@ -440,6 +440,121 @@ candidates_matmul = functools.partial(
 )(candidates_matmul_impl)
 
 
+def _unpack_planes(rows):
+    """Packed int8 bytes (plane-tiled layout, ops.bitmap_matmul) -> 0/1
+    bools with the last dim expanded 8x into term order."""
+    from ..ops.bitmap_matmul import BLKB
+
+    lead = rows.shape[:-1]
+    nb = rows.shape[-1]
+    r3 = rows.reshape(*lead, nb // BLKB, 1, BLKB)
+    planes = [
+        (r3 < 0) if p == 7 else ((r3 & np.int8(1 << p)) != 0)
+        for p in range(8)
+    ]
+    return jnp.concatenate(planes, axis=-2).reshape(*lead, nb * 8)
+
+
+def _blockmax_finish(
+    di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
+    limits, threshold, *, compute_short, n_cand, n_edge, promo_edges,
+    top_k, with_bound,
+):
+    """Back half for HUGE dense hit matrices: never materializes a
+    (B, Tl) f32 bound vector (at 10M terms that alone is ~40 B/query/term
+    of HBM traffic).  Per-128-lane block maxima reduce straight from the
+    int8 hits in one fused bandwidth pass; the top ``n_cand`` blocks' hit
+    lanes are re-gathered (contiguous 128-lane rows), and only that
+    n_cand * _BLK lane space pays f32 math + the dense top-k.  Guard
+    semantics match _select_candidates(block_sel=True): unkept blocks are
+    bounded by the kept-block max, uncovered selections by the n_cand-th
+    bound; the short tier joins the dense top-k unblocked."""
+    ts, tl = di.n_short, di.n_long
+    b, tlp = hits.shape
+    nblk = tlp // _BLK
+    nqg3 = jnp.maximum(n_qgrams.astype(jnp.float32), 1.0)[:, None, None]
+    wmax_long = di.term_wmax[ts:]
+    wpad = jnp.pad(wmax_long, (0, tlp - tl)) if tlp > tl else wmax_long
+    h3 = hits.reshape(b, nblk, _BLK)
+    s3 = h3.astype(jnp.float32) / nqg3
+    pass3 = (h3 > 0) & (n_qgrams[:, None, None] > 0) & (s3 >= threshold)
+    u3 = jnp.where(pass3, wpad.reshape(1, nblk, _BLK) * s3, _NEG_INF)
+    bmax = jnp.max(u3, axis=2)  # (b, nblk)
+    kb = min(n_cand, nblk)
+    bvals, bsel = jax.lax.top_k(bmax, kb)
+    hb = jnp.take_along_axis(h3, bsel[:, :, None], axis=1)  # (b,kb,_BLK)
+    wb = wpad.reshape(nblk, _BLK)[bsel]
+    s2 = hb.astype(jnp.float32) / nqg3
+    pass2 = (hb > 0) & (n_qgrams[:, None, None] > 0) & (s2 >= threshold)
+    u2 = jnp.where(pass2, wb * s2, _NEG_INF).reshape(b, kb * _BLK)
+    s2f = s2.reshape(b, kb * _BLK)
+    col2 = (
+        bsel[:, :, None] * _BLK
+        + jnp.arange(_BLK, dtype=jnp.int32)[None, None, :]
+    ).reshape(b, kb * _BLK)
+    nb_nonempty = jnp.sum((bmax > _NEG_INF).astype(jnp.int32), axis=1)
+    blocks_cov = nb_nonempty <= kb
+    u_b = jnp.where(blocks_cov, _NEG_INF, bvals[:, -1])
+
+    def one(args):
+        (qtok, qlen, hrow, u2r, s2r, col2r, u_br, bcov, promo, limit,
+         nqg, us) = args
+        qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
+        nqg_f = jnp.maximum(nqg.astype(jnp.float32), 1.0)
+
+        def s_at(col):  # exact long-tier score at arbitrary columns
+            h = hrow[jnp.clip(col, 0, tlp - 1)].astype(jnp.float32)
+            s = h / nqg_f
+            return s, (h > 0) & (nqg > 0) & (s >= threshold)
+
+        if compute_short:
+            s_short, pass_short, u_short = _short_tier(
+                di, qtok, qlen, us, threshold, qlen_f
+            )
+            u_cat = jnp.concatenate([u_short, u2r])
+            s_cat = jnp.concatenate([s_short, s2r])
+            gid_cat = jnp.concatenate(
+                [jnp.arange(ts, dtype=jnp.int32), ts + col2r]
+            )
+
+            def term_score(p_t):
+                p_sh = p_t < ts
+                p_ss = s_short[jnp.clip(p_t, 0, max(ts - 1, 0))]
+                p_sl, p_okl = s_at(p_t - ts)
+                p_ps = pass_short[jnp.clip(p_t, 0, max(ts - 1, 0))]
+                return (
+                    jnp.where(p_sh, p_ss, p_sl),
+                    jnp.where(p_sh, p_ps, p_okl),
+                )
+        else:
+            u_cat, s_cat = u2r, s2r
+            gid_cat = ts + col2r
+
+            def term_score(p_t):
+                s, ok = s_at(p_t - ts)
+                return s, (p_t >= ts) & ok
+
+        ub, ls = jax.lax.top_k(u_cat, min(n_cand, u_cat.shape[0]))
+        sel_valid = ub > _NEG_INF
+        lsc = jnp.clip(ls, 0, gid_cat.shape[0] - 1)
+        t_sel = gid_cat[lsc]
+        s_sel = s_cat[lsc]
+        n_in = jnp.sum((u_cat > _NEG_INF).astype(jnp.int32))
+        sel_cov = n_in <= ub.shape[0]
+        u_c = jnp.maximum(jnp.where(sel_cov, _NEG_INF, ub[-1]), u_br)
+        covered = bcov & sel_cov
+        return _finish_selected(
+            di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score,
+            promo, limit, threshold, n_edge=n_edge,
+            promo_edges=promo_edges, top_k=top_k, with_bound=with_bound,
+        )
+
+    return jax.vmap(one)(
+        (qtokens, qlens, hits, u2, s2f, col2, u_b, blocks_cov,
+         promo_ids, limits, n_qgrams, use_short)
+    )
+
+
 # ---------------------------------------------------------------------------
 # front end A2: bit-packed bitmap hits (gram-dense corpora too big for A)
 # ---------------------------------------------------------------------------
@@ -472,18 +587,20 @@ def candidates_bitmap_impl(
     (duplicate query grams accumulate multiply - nGramSearch.hpp:289-297).
     One bandwidth-bound VPU pass per slot; 8x the HBM reach of the int8
     matmul operand, no MXU, no sketch inflation.  hits <= n_qgrams <= 127
-    so int8 accumulation is exact."""
+    so int8 accumulation is exact.
+
+    The engine routes here only off-TPU; on hardware candidates_bitmap_mxu
+    streams the same table through the Pallas unpack-matmul kernel, which
+    avoids materializing a (B, Tl) accumulator per slot."""
     ts = di.n_short
     compute_short = compute_short and ts > 0
     g_total = bitmap.shape[0]
     b = qslots.shape[0]
     tl_pad = bitmap.shape[1] * 8
-    bits = jnp.arange(8, dtype=jnp.uint8)
 
     def step(acc, slot_col):
-        rows = bitmap[jnp.clip(slot_col, 0, max(g_total - 1, 0))]  # (B, Bp)
-        exp = ((rows[:, :, None] >> bits[None, None, :]) & jnp.uint8(1))
-        exp = exp.reshape(b, tl_pad).astype(jnp.int8)
+        rows = bitmap[jnp.clip(slot_col, 0, max(g_total - 1, 0))]
+        exp = _unpack_planes(rows).astype(jnp.int8)  # (B, tl_pad)
         acc = acc + jnp.where((slot_col >= 0)[:, None], exp, jnp.int8(0))
         return acc, None
 
@@ -504,6 +621,72 @@ candidates_bitmap = functools.partial(
         "block_sel", "with_bound",
     ),
 )(candidates_bitmap_impl)
+
+
+def candidates_bitmap_mxu_impl(
+    di,
+    bitmap,  # (G_pad, Tl_pad/8) int8 plane-tiled packed incidence
+    pt,
+    xt,
+    qtokens,
+    qlens,
+    qslots,
+    n_qgrams,
+    use_short,
+    promo_ids,
+    limits,
+    threshold,
+    *,
+    compute_short: bool,
+    n_cand: int,
+    n_edge: int,
+    promo_edges: int,
+    top_k: int,
+    block_sel: bool = False,
+    with_bound: bool = False,
+    interpret: bool = False,
+):
+    """EXACT hit counts via the Pallas unpack-matmul kernel
+    (ops.bitmap_matmul): the packed incidence streams through VMEM once
+    per batch while the MXU accumulates every query's counts against each
+    unpacked tile - the reference's posting loop (nGramSearch.hpp:289-298)
+    at 1/8 the HBM bytes of the int8 incidence.  bf16 x bf16 -> f32 dots
+    are exact for counts <= 127, so the engine keeps Qmax <= 127 slots on
+    this path.  Finishes with _blockmax_finish at huge tiers (block_sel)
+    or the shared dense finish otherwise."""
+    from ..ops.bitmap_matmul import bitmap_hits
+
+    ts = di.n_short
+    compute_short = compute_short and ts > 0
+    gp = bitmap.shape[0]
+    qcnt = jax.vmap(
+        lambda row: jnp.zeros((gp,), jnp.bfloat16)
+        .at[jnp.where(row >= 0, row, gp)]
+        .add(1, mode="drop")
+    )(qslots)
+    hits = bitmap_hits(qcnt, bitmap, interpret=interpret)
+    if block_sel:
+        return _blockmax_finish(
+            di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short,
+            promo_ids, limits, threshold, compute_short=compute_short,
+            n_cand=n_cand, n_edge=n_edge, promo_edges=promo_edges,
+            top_k=top_k, with_bound=with_bound,
+        )
+    return _dense_hits_finish(
+        di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
+        limits, threshold, compute_short=compute_short, n_cand=n_cand,
+        n_edge=n_edge, promo_edges=promo_edges, top_k=top_k,
+        block_sel=False, with_bound=with_bound,
+    )
+
+
+candidates_bitmap_mxu = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "compute_short", "n_cand", "n_edge", "promo_edges", "top_k",
+        "block_sel", "with_bound", "interpret",
+    ),
+)(candidates_bitmap_mxu_impl)
 
 
 # ---------------------------------------------------------------------------

@@ -648,7 +648,8 @@ class SearchEngine:
         otherwise.  Returns (guard-failed rows, n_cand used, selectable
         lanes)."""
         from .candidates import (
-            _BLK, candidates_bitmap, candidates_matmul, candidates_runs,
+            _BLK, candidates_bitmap, candidates_bitmap_mxu,
+            candidates_matmul, candidates_runs,
         )
         from .sketch import candidates_sketch
 
@@ -686,14 +687,35 @@ class SearchEngine:
             n_lanes = (ts if compute_short else 0) + tl
             per_q = 48 * (ts + tl) + 24 * n_edge + (1 << 16)
         elif bm is not None:
+            from ..ops.bitmap_matmul import fits_vmem
+
             tlp = int(bm[1])
             n_lanes = (ts if compute_short else 0) + tlp
-            per_q = (
-                8 * tlp
-                + 24 * n_edge
-                + (48 * ts if compute_short else 0)
-                + (1 << 16)
+            # the Pallas unpack-matmul kernel needs the q operand + one
+            # byte tile + unpacked plane resident in VMEM, and its bf16
+            # counts are exact only to 127 multiplicity; otherwise the
+            # XLA scan fallback (which pays a (B, Tl) accumulator pass
+            # per query-gram slot)
+            bm_kernel = (
+                jax.default_backend() != "cpu"
+                and slots.shape[1] <= 127
+                and fits_vmem(16, int(bm[0].shape[0]))
             )
+            if bm_kernel:
+                per_q = (
+                    2 * tlp
+                    + 16 * cand_cap * _BLK
+                    + 24 * n_edge
+                    + (48 * ts if compute_short else 0)
+                    + (1 << 16)
+                )
+            else:
+                per_q = (
+                    8 * tlp
+                    + 24 * n_edge
+                    + (48 * ts if compute_short else 0)
+                    + (1 << 16)
+                )
         elif sk is not None:
             tlp = int(sk[0].shape[1])
             n_lanes = (ts if compute_short else 0) + tl
@@ -716,6 +738,13 @@ class SearchEngine:
         # space dwarfs the kept blocks (n_cand blocks x 128 lanes)
         block_sel = n_lanes >= 4 * n_cand * _BLK
         cap = max(int(self.BATCH_HBM_BUDGET // per_q), 8)
+        if bm is not None and bm_kernel:
+            from ..ops.bitmap_matmul import fits_vmem
+
+            while cap > 8 and not fits_vmem(
+                _next_pow2(cap, 8), int(bm[0].shape[0])
+            ):
+                cap //= 2
         step = 8
         while step * 2 <= min(cap, batch_bucket):
             step *= 2
@@ -750,7 +779,8 @@ class SearchEngine:
                     block_sel=block_sel,
                 )
             elif bm is not None:
-                res = candidates_bitmap(
+                fe = candidates_bitmap_mxu if bm_kernel else candidates_bitmap
+                res = fe(
                     di,
                     bm[0],
                     pt,

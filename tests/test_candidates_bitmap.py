@@ -29,17 +29,93 @@ def host_engine():
 
 
 def test_bitmap_matches_dense_incidence(host_engine):
+    from stringsearchlib_tpu.ops.bitmap_matmul import plane_coords
+
     host, _ = host_engine
     bm, tl_pad = host.bitmap_tables()
-    bm = np.asarray(bm)
+    bm = np.asarray(bm).view(np.uint8)  # (G_pad, tl_pad/8) plane-tiled
     gm = np.asarray(host.gram_matrix(1 << 40))  # (G, Tl) int8 0/1
     g, tl = gm.shape
-    # expand the packed rows and compare
-    exp = ((bm[:, :, None] >> np.arange(8, dtype=np.uint8)) & 1).reshape(
-        g, tl_pad
+    byte, bit = plane_coords(np.arange(tl_pad))
+    exp = (bm[:, byte] >> bit.astype(np.uint8)) & 1  # (G_pad, tl_pad)
+    np.testing.assert_array_equal(exp[:g, :tl], gm)
+    mask = np.ones_like(exp, bool)
+    mask[:g, :tl] = False
+    assert not exp[mask].any()  # padded rows/columns carry no bits
+
+
+def test_bitmap_kernel_matches_ref(host_engine):
+    """Pallas unpack-matmul (interpret mode) == whole-table XLA unpack."""
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.ops.bitmap_matmul import (
+        bitmap_hits, bitmap_hits_ref,
     )
-    np.testing.assert_array_equal(exp[:, :tl], gm)
-    assert not exp[:, tl:].any()  # padded columns carry no bits
+
+    host, _ = host_engine
+    bm, _ = host.bitmap_tables()
+    gp = bm.shape[0]
+    rng = np.random.default_rng(7)
+    qcnt = rng.integers(0, 3, size=(16, gp)).astype(np.float32)
+    qcnt[:, host.n_grams:] = 0
+    q = jnp.asarray(qcnt, dtype=jnp.bfloat16)
+    got = np.asarray(bitmap_hits(q, bm, interpret=True))
+    want = np.asarray(bitmap_hits_ref(q, bm))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("block_sel", [False, True])
+def test_bitmap_mxu_front_end_parity(host_engine, block_sel):
+    """candidates_bitmap_mxu (kernel, interpret) == candidates_bitmap
+    (scan) on identical engine-shaped inputs, both finish variants."""
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.search.candidates import (
+        candidates_bitmap, candidates_bitmap_mxu,
+    )
+
+    host, engine = host_engine
+    di = host.device
+    bm, _ = host.bitmap_tables()
+    pt, xt = host.prim_tables()
+    words = host.key_strings.tolist()
+    rng = random.Random(11)
+    queries = []
+    for i in range(8):
+        w = words[rng.randrange(len(words))]
+        queries.append(w if i % 2 else w[:-1] + "x")
+    items = []
+    for pos, q in enumerate(queries):
+        qnorm, qlen = engine._normalize_query(q)
+        promo = host.promo_key_ids(qnorm, qlen)
+        items.append((pos, qnorm, qlen, promo))
+    b, qtok, qlens, slots_a, nqg_a, use_short, _ = engine._prep_rows(
+        items, 32
+    )
+    promo_a = np.full((b, engine.PROMO_KEYS), -1, np.int32)
+    for r, it in enumerate(items):
+        promo_a[r, : it[3].size] = it[3]
+    lim = np.full((b,), 10, np.int32)
+    kw = dict(
+        compute_short=True, n_cand=64, n_edge=32, promo_edges=16,
+        top_k=16, block_sel=block_sel,
+    )
+    args = (
+        di, bm, pt, xt, jnp.asarray(qtok), jnp.asarray(qlens),
+        jnp.asarray(slots_a), jnp.asarray(nqg_a), jnp.asarray(use_short),
+        jnp.asarray(promo_a), jnp.asarray(lim), np.float32(0.25),
+    )
+    got = [np.asarray(x) for x in
+           candidates_bitmap_mxu(*args, interpret=True, **kw)]
+    want = [np.asarray(x) for x in candidates_bitmap(*args, **kw)]
+    # counts, exact flags identical; ranked (score, len) slices identical
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[4], want[4])
+    for r in range(b):
+        n = min(int(got[0][r]), got[1].shape[1])
+        gs = sorted(zip(np.round(got[2][r][:n], 5), got[3][r][:n]))
+        ws = sorted(zip(np.round(want[2][r][:n], 5), want[3][r][:n]))
+        assert gs == ws, (queries[r], gs, ws)
 
 
 def test_bitmap_search_parity(host_engine):
