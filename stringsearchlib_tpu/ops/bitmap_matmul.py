@@ -82,8 +82,21 @@ def _kernel(q_ref, bm_ref, out_ref):
         out_ref[:, p * BLKB : (p + 1) * BLKB] = acc.astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bitmap_hits(qcnt, planes, *, interpret: bool | None = None):
+def _kernel_i8(q_ref, bm_ref, out_ref):
+    """int8-operand variant: v5e MXU does 2x the int8 MACs of bf16.
+    Counts <= 127 so si8 x si8 -> si32 accumulation is exact."""
+    q = q_ref[:]  # (B, Gp) int8
+    t = bm_ref[:]
+    for p in range(8):
+        bit = (t & np.int8(-128 if p == 7 else 1 << p)) != 0
+        plane = bit.astype(jnp.int8)
+        acc = jnp.dot(q, plane, preferred_element_type=jnp.int32)
+        out_ref[:, p * BLKB : (p + 1) * BLKB] = acc.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "int8_dots"))
+def bitmap_hits(qcnt, planes, *, interpret: bool | None = None,
+                int8_dots: bool = False):
     """qcnt (B, Gp) bf16 gram multiplicities  x  planes (Gp, NB) int8
     packed incidence  ->  hits (B, NB * 8) int8, term-ordered columns.
 
@@ -95,8 +108,10 @@ def bitmap_hits(qcnt, planes, *, interpret: bool | None = None):
     gp2, nb = planes.shape
     assert gp == gp2 and gp % 128 == 0 and nb % BLKB == 0, (b, gp, gp2, nb)
     ntiles = nb // BLKB
+    if int8_dots:
+        qcnt = qcnt.astype(jnp.int8)
     return pl.pallas_call(
-        _kernel,
+        _kernel_i8 if int8_dots else _kernel,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((b, gp), lambda j: (0, 0)),

@@ -462,13 +462,20 @@ def _blockmax_finish(
 ):
     """Back half for HUGE dense hit matrices: never materializes a
     (B, Tl) f32 bound vector (at 10M terms that alone is ~40 B/query/term
-    of HBM traffic).  Per-128-lane block maxima reduce straight from the
-    int8 hits in one fused bandwidth pass; the top ``n_cand`` blocks' hit
-    lanes are re-gathered (contiguous 128-lane rows), and only that
-    n_cand * _BLK lane space pays f32 math + the dense top-k.  Guard
-    semantics match _select_candidates(block_sel=True): unkept blocks are
-    bounded by the kept-block max, uncovered selections by the n_cand-th
-    bound; the short tier joins the dense top-k unblocked."""
+    of HBM traffic).  The first pass touches no f32 per lane: an int8
+    block-max of the hits plus a per-block weight maximum give an upper
+    BOUND on each block's best u = wmax * hits/n_qgrams (negative-weight
+    blocks are bounded by wblk * threshold, since u is then maximized at
+    the smallest passing s).  Blocks are selected by that bound, their
+    lanes re-gathered (contiguous 128-lane rows) and rescored exactly,
+    and only that n_cand * _BLK lane space pays f32 math + the dense
+    top-k.  Guard semantics match _select_candidates(block_sel=True):
+    unkept blocks are bounded by the kept-block bound, uncovered
+    selections by the n_cand-th bound.  A block's bound is finite iff
+    some lane in it passes (its max-hits lane does), so coverage
+    counting is unchanged by the bound formulation; results stay exact
+    because selection-by-bound only affects WHICH blocks get exact
+    rescoring, never the scores or the guard's soundness."""
     ts, tl = di.n_short, di.n_long
     b, tlp = hits.shape
     nblk = tlp // _BLK
@@ -476,10 +483,14 @@ def _blockmax_finish(
     wmax_long = di.term_wmax[ts:]
     wpad = jnp.pad(wmax_long, (0, tlp - tl)) if tlp > tl else wmax_long
     h3 = hits.reshape(b, nblk, _BLK)
-    s3 = h3.astype(jnp.float32) / nqg3
-    pass3 = (h3 > 0) & (n_qgrams[:, None, None] > 0) & (s3 >= threshold)
-    u3 = jnp.where(pass3, wpad.reshape(1, nblk, _BLK) * s3, _NEG_INF)
-    bmax = jnp.max(u3, axis=2)  # (b, nblk)
+    hmax = jnp.max(h3, axis=2)  # (b, nblk) int8: no f32 over full lanes
+    smax = hmax.astype(jnp.float32) / nqg3[:, :, 0]
+    wblk = jnp.max(wpad.reshape(nblk, _BLK), axis=1)  # (nblk,)
+    nonempty = (hmax > 0) & (n_qgrams[:, None] > 0) & (smax >= threshold)
+    ub_blk = jnp.where(
+        wblk[None, :] >= 0, wblk[None, :] * smax, wblk[None, :] * threshold
+    )
+    bmax = jnp.where(nonempty, ub_blk, _NEG_INF)  # (b, nblk) upper bound
     kb = min(n_cand, nblk)
     bvals, bsel = jax.lax.top_k(bmax, kb)
     hb = jnp.take_along_axis(h3, bsel[:, :, None], axis=1)  # (b,kb,_BLK)
@@ -650,7 +661,7 @@ def candidates_bitmap_mxu_impl(
     (ops.bitmap_matmul): the packed incidence streams through VMEM once
     per batch while the MXU accumulates every query's counts against each
     unpacked tile - the reference's posting loop (nGramSearch.hpp:289-298)
-    at 1/8 the HBM bytes of the int8 incidence.  bf16 x bf16 -> f32 dots
+    at 1/8 the HBM bytes of the int8 incidence.  si8 x si8 -> si32 dots
     are exact for counts <= 127, so the engine keeps Qmax <= 127 slots on
     this path.  Finishes with _blockmax_finish at huge tiers (block_sel)
     or the shared dense finish otherwise."""
@@ -664,7 +675,9 @@ def candidates_bitmap_mxu_impl(
         .at[jnp.where(row >= 0, row, gp)]
         .add(1, mode="drop")
     )(qslots)
-    hits = bitmap_hits(qcnt, bitmap, interpret=interpret)
+    # int8 MXU dots: v5e does 2x the int8 MACs of bf16 (measured 93 vs
+    # 29 GB/s of packed table at B=256); si8 x si8 -> si32 is exact
+    hits = bitmap_hits(qcnt, bitmap, interpret=interpret, int8_dots=True)
     if block_sel:
         return _blockmax_finish(
             di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short,

@@ -62,6 +62,8 @@ def test_bitmap_kernel_matches_ref(host_engine):
     got = np.asarray(bitmap_hits(q, bm, interpret=True))
     want = np.asarray(bitmap_hits_ref(q, bm))
     np.testing.assert_array_equal(got, want)
+    got8 = np.asarray(bitmap_hits(q, bm, interpret=True, int8_dots=True))
+    np.testing.assert_array_equal(got8, want)
 
 
 @pytest.mark.parametrize("block_sel", [False, True])
