@@ -68,6 +68,22 @@ def _rich_names(n: int, seed: int = 1) -> list:
     return [flat[i * 30 : i * 30 + lens[i]] for i in range(n)]
 
 
+_CJK = [chr(c) for c in range(0x4E00, 0x4E80)] + [
+    chr(c) for c in range(0x30A0, 0x30F0)
+]
+_ACCENT = list("àáâäåçèéêëìíîïñòóôöøùúûüýāćēīłńōśūźżž")
+
+
+def _wide_names(n: int, seed: int = 3) -> list:
+    """Unicode corpus (CJK + accented Latin) for the indexW/searchW
+    BASELINE config."""
+    rng = np.random.default_rng(seed)
+    pool = np.array(_CJK + _ACCENT + list("abcdefghij "), dtype="U1")
+    lens = rng.integers(4, 14, n)
+    mat = pool[rng.integers(0, pool.size, (n, 13))]
+    return ["".join(mat[i, : lens[i]]).strip() or "pad" for i in range(n)]
+
+
 def _mutate(rng: random.Random, s: str) -> str:
     chars = list(s)
     for _ in range(rng.randint(0, 2)):
@@ -82,7 +98,8 @@ def _mutate(rng: random.Random, s: str) -> str:
     return "".join(chars)
 
 
-def _run_config(words, n_queries, threshold, limit, reps, singles=0):
+def _run_config(words, n_queries, threshold, limit, reps, singles=0,
+                row_size=1, weights=None, config=None):
     """Build + search one corpus; returns a dict of measurements."""
     import jax
 
@@ -94,7 +111,7 @@ def _run_config(words, n_queries, threshold, limit, reps, singles=0):
     total_bytes = sum(len(w) for w in words)
 
     t0 = time.perf_counter()
-    host = build_index(words, 1, None, IndexConfig())
+    host = build_index(words, row_size, weights, config or IndexConfig())
     jax.device_get(host.device.gram_ptr[:1])  # settle uploads
     build_s = time.perf_counter() - t0
     engine = SearchEngine(host)
@@ -167,6 +184,31 @@ def main() -> None:
             _rich_names(n_1m), n_queries, threshold, limit, reps
         )
         extra["rich_1m"] = rich
+
+    n_wide = int(os.environ.get("BENCH_WIDE_KEYS", 100_000))
+    if n_wide:
+        from stringsearchlib_tpu.config import IndexConfig
+
+        wide_words = _wide_names(n_wide)
+        for gs in (2, 3):
+            extra[f"wide_100k_g{gs}"] = _run_config(
+                wide_words, min(n_queries, 256), threshold, limit,
+                max(1, reps - 2),
+                config=IndexConfig(wide=True, gram_size=gs),
+            )
+
+    n_2d = int(os.environ.get("BENCH_2D_ROWS", 1_000_000))
+    if n_2d:
+        rows = _product_names(n_2d, seed=5)
+        descs = _rich_names(n_2d, seed=6)
+        flat = [x for kv in zip(rows, descs) for x in kv]
+        w = np.tile(np.array([1.0, 0.4]), n_2d)
+        r2d = _run_config(
+            flat, min(n_queries * 2, 1024), threshold, limit,
+            max(1, reps - 2), row_size=2, weights=w,
+        )
+        r2d["n_rows"] = n_2d
+        extra["index2d_1m_rows"] = r2d
 
     head = _run_config(
         _product_names(n_keys, seed=2), n_queries, threshold, limit, reps,
