@@ -44,17 +44,22 @@ _TYPES = ["widget", "sensor", "valve", "motor", "panel", "cable", "filter"]
 
 
 def _product_names(n: int, seed: int = 0) -> list:
-    """Vectorized product-name corpus (same distribution as round 1)."""
+    """Vectorized product-name corpus (same distribution as round 1).
+    Pure numpy string ops: the per-row f-string loop took ~20 min at 10M."""
     rng = np.random.default_rng(seed)
     brands = rng.choice(_BRANDS, n)
     kinds = rng.choice(_TYPES, n)
-    nums = rng.integers(1, 10000, n)
+    nums = rng.integers(1, 10000, n).astype("U4")
     nsyl = rng.integers(2, 5, n)
-    syl = rng.choice(_SYLLABLES, (n, 4))
-    return [
-        f"{brands[i]} {''.join(syl[i, : nsyl[i]])} {kinds[i]} {nums[i]}"
-        for i in range(n)
-    ]
+    syl = rng.choice(_SYLLABLES, (n, 4)).astype("U2")
+    for j in (2, 3):
+        syl[nsyl <= j, j] = ""
+    word = np.char.add(np.char.add(syl[:, 0], syl[:, 1]),
+                       np.char.add(syl[:, 2], syl[:, 3]))
+    sp = np.full(n, " ", dtype="U1")
+    out = np.char.add(np.char.add(np.char.add(brands, sp), word), sp)
+    out = np.char.add(np.char.add(np.char.add(out, kinds), sp), nums)
+    return out.tolist()
 
 
 def _rich_names(n: int, seed: int = 1) -> list:

@@ -121,6 +121,92 @@ class HostIndex:
         ok = (kl[cand] == qlen) & (kt[cand] == row[0]).all(axis=1)
         return cand[ok].astype(np.int32)
 
+    def _incidence_slabs(
+        self, n_rows: int, n_cols: int, kind: str,
+        max_flat: int = 2**31 - 1,
+    ):
+        """Build a (n_rows, n_cols) int8 incidence-derived table ON DEVICE
+        from the resident CSR, as row slabs of 1-D flat-index scatters.
+
+        Why not one 2D scatter: XLA pads a (P, 2) scatter-index tensor to
+        128 lanes - a 64x transient blowup (105 GB at 206M postings).  Why
+        slabs: the 1-D flat index row*n_cols + col must stay inside int32.
+        Each slab covers a contiguous gram-row range; its posting span is
+        found host-side from gram_ptr, sliced with a traced start (clamped
+        host-side so the static-size dynamic_slice never shifts), and rows
+        outside the slab fall out of the scatter via mode='drop'.
+
+        kind 'ones': col = term, value 1 (dense 0/1 incidence).
+        kind 'bits': plane-tiled packed bytes (ops.bitmap_matmul layout).
+        """
+        import jax
+
+        from ..ops.bitmap_matmul import plane_coords
+
+        gp_host = np.asarray(jax.device_get(self.device.gram_ptr), np.int64)
+        g = self.n_grams
+        total_p = int(gp_host[-1]) if gp_host.size else 0
+        slab = max(1, min(n_rows, max_flat // max(n_cols, 1)))
+        bounds = list(range(0, n_rows, slab)) + [n_rows]
+        spans = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            p0 = int(gp_host[min(lo, g)])
+            p1 = int(gp_host[min(hi, g)])
+            spans.append((lo, hi, p0, p1))
+        def _np2(n, lo_b):
+            v = lo_b
+            while v < n:
+                v *= 2
+            return v
+
+        p_pad = _np2(max(max((p1 - p0 for _, _, p0, p1 in spans),
+                             default=1), 1), 1024)
+        p_pad = min(p_pad, _np2(max(total_p, 1), 1024))
+
+        @functools.partial(jax.jit, static_argnums=(4, 5, 6))
+        def _slab(gram_ptr, gram_terms, start, lo, rows_here, n_cols, kind):
+            pos = jnp.arange(p_pad, dtype=jnp.int32)
+            seg = jax.lax.dynamic_slice(gram_terms, (start,), (p_pad,))
+            gpos = start + pos
+            rows = (
+                jnp.searchsorted(
+                    gram_ptr, gpos.astype(gram_ptr.dtype), side="right"
+                ).astype(jnp.int32)
+                - 1
+                - lo
+            )
+            if kind == "bits":
+                col, bit = plane_coords(seg)
+                val = jnp.uint8(1) << bit.astype(jnp.uint8)
+            else:
+                col, val = seg, jnp.uint8(1)
+            flat = rows * np.int32(n_cols) + col
+            oob = np.int32(min(rows_here * n_cols, 2**31 - 1))
+            ok = (rows >= 0) & (rows < rows_here) & (gpos < gram_ptr[-1])
+            flat = jnp.where(ok, flat, oob)
+            packed = (
+                jnp.zeros((rows_here * n_cols,), jnp.uint8)
+                .at[flat]
+                .add(val, mode="drop")
+            )
+            return jax.lax.bitcast_convert_type(
+                packed.reshape(rows_here, n_cols), jnp.int8
+            )
+
+        gt = self.device.gram_terms
+        if int(gt.shape[0]) < p_pad:  # tiny index: pad once so the
+            gt = jnp.pad(gt, (0, p_pad - int(gt.shape[0])))  # slice fits
+        pieces = []
+        for lo, hi, p0, p1 in spans:
+            start = max(0, min(p0, int(gt.shape[0]) - p_pad))
+            pieces.append(
+                _slab(
+                    self.device.gram_ptr, gt, np.int32(start), np.int32(lo),
+                    hi - lo, n_cols, kind,
+                )
+            )
+        return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
+
     def gram_matrix(self, budget_bytes: int = 1536 << 20):
         """Dense 0/1 gram->long-term incidence matrix as device bf16, or
         None when G * Tl would exceed ``budget_bytes``.
@@ -139,27 +225,11 @@ class HostIndex:
             self._gram_matrix_cache = False
             return None
         # Built ON DEVICE from the CSR already resident in HBM - no
-        # host->device shipment of the (G, Tl) matrix, just one scatter.
-        # int8: exact 0/1, half the HBM of bf16, double MXU rate on v5e.
-        import jax
-
-        @functools.partial(jax.jit, static_argnums=(2, 3))
-        def _build(gram_ptr, gram_terms, g, tl):
-            p = gram_terms.shape[0]
-            rows = (
-                jnp.searchsorted(
-                    gram_ptr, jnp.arange(p, dtype=gram_ptr.dtype),
-                    side="right",
-                ).astype(jnp.int32)
-                - 1
-            )
-            return (
-                jnp.zeros((g, tl), jnp.int8)
-                .at[rows, gram_terms]
-                .set(1, mode="drop")
-            )
-
-        gm = _build(self.device.gram_ptr, self.device.gram_terms, g, tl)
+        # host->device shipment of the (G, Tl) matrix, just slabbed 1-D
+        # scatters (_incidence_slabs).  int8: exact 0/1, half the HBM of
+        # bf16, double MXU rate on v5e.  CSR postings are unique per
+        # (gram, term), so add == set.
+        gm = self._incidence_slabs(g, tl, "ones")
         self._gram_matrix_cache = gm
         return gm
 
@@ -189,7 +259,7 @@ class HostIndex:
         if self._bitmap_cache is not None:
             bm = self._bitmap_cache
             return None if bm is False else bm
-        from ..ops.bitmap_matmul import TILE_LANES, plane_coords
+        from ..ops.bitmap_matmul import TILE_LANES
 
         g = self.n_grams
         tl = int(self.device.long_lengths.shape[0])
@@ -198,29 +268,7 @@ class HostIndex:
         if g == 0 or tl == 0 or g_pad * (tl_pad // 8) > budget_bytes:
             self._bitmap_cache = False
             return None
-        import jax
-
-        @functools.partial(jax.jit, static_argnums=(2, 3))
-        def _build(gram_ptr, gram_terms, g_pad, n_bytes):
-            p = gram_terms.shape[0]
-            rows = (
-                jnp.searchsorted(
-                    gram_ptr, jnp.arange(p, dtype=gram_ptr.dtype),
-                    side="right",
-                ).astype(jnp.int32)
-                - 1
-            )
-            byte, bit = plane_coords(gram_terms)
-            packed = (
-                jnp.zeros((g_pad, n_bytes), jnp.uint8)
-                .at[rows, byte]
-                .add(jnp.uint8(1) << bit.astype(jnp.uint8), mode="drop")
-            )
-            return jax.lax.bitcast_convert_type(packed, jnp.int8)
-
-        bm = _build(
-            self.device.gram_ptr, self.device.gram_terms, g_pad, tl_pad // 8
-        )
+        bm = self._incidence_slabs(g_pad, tl_pad // 8, "bits")
         self._bitmap_cache = (bm, tl_pad)
         return self._bitmap_cache
 

@@ -147,3 +147,24 @@ def test_bitmap_duplicate_gram_multiplicity(host_engine):
         gs = sorted((round(s, 5), len(k)) for k, s in zip(*g))
         ws = sorted((round(s, 5), len(k)) for k, s in zip(*w))
         assert gs == ws
+
+
+def test_incidence_slabs_multislab_parity(host_engine):
+    """Row-slabbed scatter (forced multi-slab via a tiny flat-index cap)
+    must reproduce the single-slab tables bit for bit."""
+    host, _ = host_engine
+    bm, tl_pad = host.bitmap_tables()
+    nb = bm.shape[1]
+    one = np.asarray(host._incidence_slabs(bm.shape[0], nb, "bits"))
+    np.testing.assert_array_equal(one, np.asarray(bm))
+    for cap in (nb, 3 * nb, 7 * nb + 13):
+        many = np.asarray(
+            host._incidence_slabs(bm.shape[0], nb, "bits", max_flat=cap)
+        )
+        np.testing.assert_array_equal(many, one)
+    gm = np.asarray(host.gram_matrix(1 << 40))
+    g, tl = gm.shape
+    many = np.asarray(
+        host._incidence_slabs(g, tl, "ones", max_flat=2 * tl)
+    )
+    np.testing.assert_array_equal(many, gm)
