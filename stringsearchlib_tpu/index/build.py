@@ -491,6 +491,32 @@ def _upload_tokens(mat: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(mat).astype(jnp.int32)
 
 
+def _upload_array(a) -> jnp.ndarray:
+    """Device array with transfer-avoiding fast paths.
+
+    Host->device bandwidth dominates index build on remote backends, and
+    several DeviceIndex leaves are trivially structured at scale (with
+    row_size=1 and default weights the edge arrays are identities and the
+    CSR pointers aranges): detect arange / constant 1-D arrays and emit
+    them as on-device iota/fill (zero transfer), and ship wide integer
+    arrays at the narrowest lossless dtype, widening on device."""
+    a = np.asarray(a)
+    if a.ndim == 1 and a.size >= (1 << 14):
+        if a.dtype.kind in "iu":
+            if np.array_equal(a, np.arange(a.size, dtype=a.dtype)):
+                return jnp.arange(a.size, dtype=a.dtype)
+            amin, amax = int(a.min()), int(a.max())
+            if amin == amax:
+                return jnp.full(a.shape, amin, dtype=a.dtype)
+            if 0 <= amin and amax <= 255 and a.dtype.itemsize > 1:
+                return jnp.asarray(a.astype(np.uint8)).astype(a.dtype)
+            if 0 <= amin and amax <= 65535 and a.dtype.itemsize > 2:
+                return jnp.asarray(a.astype(np.uint16)).astype(a.dtype)
+        elif a.dtype.kind == "f" and np.all(a == a.flat[0]):
+            return jnp.full(a.shape, a.flat[0], dtype=a.dtype)
+    return jnp.asarray(a)
+
+
 def _converters(to_device: bool):
     """(array converter, token-matrix converter) for DeviceIndex leaves.
 
@@ -498,7 +524,7 @@ def _converters(to_device: bool):
     sharded/multi-host path, which slices the arrays per shard and uploads
     only shard-local pieces (never the unsharded index)."""
     if to_device:
-        return jnp.asarray, _upload_tokens
+        return _upload_array, _upload_tokens
     return (
         lambda a: np.asarray(a),
         lambda m: np.asarray(m).astype(np.int32),
