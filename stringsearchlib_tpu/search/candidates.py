@@ -56,6 +56,37 @@ _NEG_INF = np.float32(-np.inf)
 
 _BLK = 128  # selection block width (one vector register row)
 
+# lax.top_k cost grows superlinearly past ~32k lanes on v5e (measured
+# 42 ms for (256, 131k)->1024 vs 2.5 ms for (256, 31k)->1024); chunked
+# selection keeps every top_k call at or under this width
+_TOPK_CHUNK = 1 << 15
+
+
+def topk_chunked(u, k, chunk: int = _TOPK_CHUNK):
+    """EXACT top-k over the last axis via per-chunk top-k + merge.
+
+    The union of per-chunk top-k sets provably contains the global top-k
+    (any global winner is within the top-k of its own chunk), so a
+    second top-k over the nc*k merged candidates is exact.  Tie handling
+    differs from monolithic lax.top_k only in WHICH equal-valued lanes
+    are selected - the exactness guard already treats cutoff ties as
+    guard failures, so results are unaffected.  Indices may point at
+    -inf padding when fewer than k lanes exist; callers already treat
+    non-finite selections as invalid."""
+    n = u.shape[-1]
+    if n <= chunk or k >= chunk:
+        return jax.lax.top_k(u, k)
+    nc = -(-n // chunk)
+    pad = [(0, 0)] * (u.ndim - 1) + [(0, nc * chunk - n)]
+    up = jnp.pad(u, pad, constant_values=_NEG_INF)
+    uc = up.reshape(*u.shape[:-1], nc, chunk)
+    vals, idx = jax.lax.top_k(uc, k)
+    gidx = idx + (jnp.arange(nc, dtype=idx.dtype) * chunk)[:, None]
+    flat_v = vals.reshape(*u.shape[:-1], nc * k)
+    flat_i = gidx.reshape(*u.shape[:-1], nc * k)
+    v2, sel = jax.lax.top_k(flat_v, k)
+    return v2, jnp.take_along_axis(flat_i, sel, axis=-1)
+
 
 def _select_candidates(u_all, n_pass, *, n_cand, block_sel):
     """Top-``n_cand`` lanes of ``u_all`` by upper bound.
@@ -74,10 +105,15 @@ def _select_candidates(u_all, n_pass, *, n_cand, block_sel):
     nonempty block holds >= 1 passing lane, so n_pass <= n_cand implies
     every passing block is kept (coverage is never weaker than plain
     top-k), and unkept blocks are bounded by the n_cand-th block max,
-    which joins the guard bound.
+    which joins the guard bound.  Selection depth deliberately stays at
+    n_cand blocks: a shallower first level (superblock cascade, kb =
+    n_cand/4) was measured 2x SLOWER end-to-end at 4M keys because its
+    higher bound trips the strict-inequality guard on tie-quantized
+    scores (s = hits/n_qgrams takes ~20 discrete values) and every chunk
+    pays the escalation retry.
     """
     if not block_sel:
-        ub, sel = jax.lax.top_k(u_all, n_cand)
+        ub, sel = topk_chunked(u_all, n_cand)
         u_c = jnp.where(n_pass > n_cand, ub[-1], _NEG_INF)
         return ub, sel, u_c, n_pass <= n_cand
 
@@ -88,10 +124,14 @@ def _select_candidates(u_all, n_pass, *, n_cand, block_sel):
     ).reshape(nb, _BLK)
     bmax = up.max(axis=1)
     kb = min(n_cand, nb)
-    bvals, bsel = jax.lax.top_k(bmax, kb)
-    u2 = up[bsel].reshape(-1)  # (kb * _BLK,) contiguous row gather
-    ub, ls = jax.lax.top_k(u2, n_cand)
-    sel = bsel[ls // _BLK] * _BLK + (ls % _BLK)
+    bvals, bsel = topk_chunked(bmax, kb)
+    u2 = up[jnp.clip(bsel, 0, nb - 1)].reshape(-1)
+    # a kept entry with value -inf can be a CLAMPED pad index (chunked
+    # top_k pads its lane space) whose gather read a real block's lanes;
+    # mask those lanes so a term is never selected under a foreign id
+    u2 = jnp.where(jnp.repeat(bvals > _NEG_INF, _BLK), u2, _NEG_INF)
+    ub, ls = topk_chunked(u2, min(n_cand, u2.shape[0]))
+    sel = bsel[jnp.clip(ls // _BLK, 0, kb - 1)] * _BLK + (ls % _BLK)
 
     nb_nonempty = jnp.sum((bmax > _NEG_INF).astype(jnp.int32))
     blocks_cov = nb_nonempty <= kb
@@ -491,21 +531,26 @@ def _blockmax_finish(
         wblk[None, :] >= 0, wblk[None, :] * smax, wblk[None, :] * threshold
     )
     bmax = jnp.where(nonempty, ub_blk, _NEG_INF)  # (b, nblk) upper bound
-    kb = min(n_cand, nblk)
-    bvals, bsel = jax.lax.top_k(bmax, kb)
-    hb = jnp.take_along_axis(h3, bsel[:, :, None], axis=1)  # (b,kb,_BLK)
-    wb = wpad.reshape(nblk, _BLK)[bsel]
+    kb = min(n_cand, nblk)  # full n_cand depth: see _select_candidates on
+    # why a shallower first level loses to guard-failure escalations
+    nb_nonempty = jnp.sum((bmax > _NEG_INF).astype(jnp.int32), axis=1)
+    bvals, bsel = topk_chunked(bmax, kb)
+    blocks_cov = nb_nonempty <= kb
+    u_b = jnp.where(blocks_cov, _NEG_INF, bvals[:, -1])
+    bsel_c = jnp.clip(bsel, 0, nblk - 1)
+    hb = jnp.take_along_axis(h3, bsel_c[:, :, None], axis=1)  # (b,kb,BLK)
+    wb = wpad.reshape(nblk, _BLK)[bsel_c]
     s2 = hb.astype(jnp.float32) / nqg3
     pass2 = (hb > 0) & (n_qgrams[:, None, None] > 0) & (s2 >= threshold)
+    # mask lanes of invalid kept blocks (clamped pad indices read a real
+    # block's lanes; selecting them would score a term under a wrong id)
+    pass2 = pass2 & (bvals > _NEG_INF)[:, :, None]
     u2 = jnp.where(pass2, wb * s2, _NEG_INF).reshape(b, kb * _BLK)
     s2f = s2.reshape(b, kb * _BLK)
     col2 = (
-        bsel[:, :, None] * _BLK
+        bsel_c[:, :, None] * _BLK
         + jnp.arange(_BLK, dtype=jnp.int32)[None, None, :]
     ).reshape(b, kb * _BLK)
-    nb_nonempty = jnp.sum((bmax > _NEG_INF).astype(jnp.int32), axis=1)
-    blocks_cov = nb_nonempty <= kb
-    u_b = jnp.where(blocks_cov, _NEG_INF, bvals[:, -1])
 
     def one(args):
         (qtok, qlen, hrow, u2r, s2r, col2r, u_br, bcov, promo, limit,
@@ -545,7 +590,7 @@ def _blockmax_finish(
                 s, ok = s_at(p_t - ts)
                 return s, (p_t >= ts) & ok
 
-        ub, ls = jax.lax.top_k(u_cat, min(n_cand, u_cat.shape[0]))
+        ub, ls = topk_chunked(u_cat, min(n_cand, u_cat.shape[0]))
         sel_valid = ub > _NEG_INF
         lsc = jnp.clip(ls, 0, gid_cat.shape[0] - 1)
         t_sel = gid_cat[lsc]

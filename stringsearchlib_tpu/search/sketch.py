@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .candidates import _finish_selected, _short_tier
+from .candidates import _finish_selected, _short_tier, topk_chunked
 
 _NEG_INF = np.float32(-np.inf)
 
@@ -278,13 +278,13 @@ def candidates_sketch_impl(
 
         # -- hierarchical block selection over the long tier ---------------
         sbmax = bm_row.reshape(sb, _SUPER).max(axis=1)
-        sbv, sbi = jax.lax.top_k(sbmax, ksb)
+        sbv, sbi = topk_chunked(sbmax, ksb)
         sb_n = jnp.sum((sbmax > _NEG_INF).astype(jnp.int32))
         sb_cov = sb_n <= ksb
         u_sb = jnp.where(sb_cov, _NEG_INF, sbv[-1])
 
         bm_g = bm_row.reshape(sb, _SUPER)[sbi].reshape(-1)  # (ksb*SUPER,)
-        bv, bloc = jax.lax.top_k(bm_g, kb)
+        bv, bloc = topk_chunked(bm_g, kb)
         blk = sbi[bloc // _SUPER] * _SUPER + (bloc % _SUPER)  # global blocks
         blk_n = jnp.sum((bm_g > _NEG_INF).astype(jnp.int32))
         blk_cov = blk_n <= kb
@@ -297,7 +297,7 @@ def candidates_sketch_impl(
         # blocks below the selection never contribute; mask by block validity
         p_blk = p_blk & (bv > _NEG_INF)[:, None]
         u2 = jnp.where(p_blk, w_blk * s_blk, _NEG_INF).reshape(-1)
-        uv, li = jax.lax.top_k(u2, n_cand)
+        uv, li = topk_chunked(u2, n_cand)
         lane = blk[li // _BLK] * _BLK + (li % _BLK)  # long-term local ids
         lane_n = jnp.sum((u2 > _NEG_INF).astype(jnp.int32))
         lane_cov = lane_n <= n_cand
@@ -328,7 +328,7 @@ def candidates_sketch_impl(
             s_short, pass_short, u_short = _short_tier(
                 di, qtok, qlen, us, threshold, qlen_f
             )
-            usv, usel = jax.lax.top_k(u_short, n_short_cand)
+            usv, usel = topk_chunked(u_short, n_short_cand)
             s_n = jnp.sum((u_short > _NEG_INF).astype(jnp.int32))
             s_cov = s_n <= n_short_cand
             u_c_short = jnp.where(s_cov, _NEG_INF, usv[-1])

@@ -107,3 +107,43 @@ def test_engine_escalation_parity_with_dense(big_engine):
         ga = sorted((round(s, 5), len(k)) for k, s in zip(ka, sa))
         gb = sorted((round(s, 5), len(k)) for k, s in zip(kb, sb))
         assert ga == gb, (i, queries[i], ka, kb)
+
+
+def test_block_selection_soundness():
+    """_select_candidates block mode on a large synthetic lane space:
+    every selected value is the real lane value,
+    u_c bounds every unselected lane, and coverage implies the selection
+    contains every passing lane."""
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.search.candidates import _select_candidates
+
+    rng = np.random.default_rng(3)
+    n, n_cand = 300_000, 64  # 2344 blocks, far more than n_cand
+    for case in ("dense", "sparse"):
+        u = np.full(n, -np.inf, np.float32)
+        if case == "dense":
+            m = 50_000
+        else:
+            m = 40  # fewer passers than n_cand -> covered
+        pos = rng.choice(n, m, replace=False)
+        u[pos] = rng.random(m).astype(np.float32) * 10
+        n_pass = np.int32(m)
+        ub, sel, u_c, covered = map(
+            np.asarray,
+            _select_candidates(
+                jnp.asarray(u), jnp.asarray(n_pass), n_cand=n_cand,
+                block_sel=True,
+            ),
+        )
+        valid = ub > -np.inf
+        np.testing.assert_array_equal(ub[valid], u[sel[valid]])
+        unsel = np.setdiff1d(pos, sel[valid])
+        if unsel.size:
+            # the binding property: u_c upper-bounds every unselected lane
+            assert np.isfinite(u_c) and u[unsel].max() <= u_c + 1e-6, (
+                case, u[unsel].max(), u_c,
+            )
+        if case == "sparse":
+            assert covered
+            assert set(pos) <= set(sel[valid].tolist())
