@@ -191,3 +191,33 @@ def test_single_query_candidate_routing_matches_dense():
         got_c = sorted(zip([round(s, 4) for s in got[1]], map(len, got[0])))
         want_c = sorted(zip([round(s, 4) for s in wsc], map(len, ws)))
         assert got_c == want_c, (q, got, ws)
+
+
+def test_tiny_batch_runs_override_parity():
+    """Small batches on gm-less large indexes take the sorted-runs front
+    end (fixed full-table streams are wasteful per query); results must
+    match the dense path exactly.  Thresholds lowered to engage the
+    route on a test-sized corpus."""
+    import numpy as np
+
+    from stringsearchlib_tpu.config import IndexConfig
+    from stringsearchlib_tpu.index.build import build_index
+    from stringsearchlib_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(17)
+    alpha = list("ABCDEFGH")
+    words = [
+        "".join(rng.choice(alpha, size=rng.integers(6, 16)))
+        for _ in range(3000)
+    ]
+    host = build_index(words, 1, None, IndexConfig())
+    eng = SearchEngine(host)
+    eng.GM_BUDGET = 0
+    eng.SKETCH_MIN_TERMS = 1  # let tiny_runs engage at test size
+    queries = [words[i][:-1] + "X" for i in range(5)]  # b_all <= 8
+    got = eng.search_batch(queries, 0.25, 10, mode="candidates")
+    dense = SearchEngine(host).search_batch(queries, 0.25, 10, mode="dense")
+    for q, g, w in zip(queries, got, dense):
+        gs = sorted((round(s, 5), len(k)) for k, s in zip(*g))
+        ws = sorted((round(s, 5), len(k)) for k, s in zip(*w))
+        assert gs == ws, (q, g, w)
