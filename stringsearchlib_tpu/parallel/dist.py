@@ -625,6 +625,12 @@ class ShardedEngine(SearchEngine):
         lv = self._leaves()
 
         def build_fn(gram_ptr, gram_terms):
+            # 1-D flat scatters in row slabs: a (P, 3) scatter-index
+            # tensor is padded to 128 lanes by XLA (64x transient blowup
+            # at tens of millions of postings), and the flat index
+            # row * tl_c + col must stay inside int32.  Shard-local
+            # posting spans are not host-known, so each slab masks the
+            # full posting list instead of slicing it.
             p = gram_terms.shape[1]
             rows = (
                 jnp.searchsorted(
@@ -633,11 +639,31 @@ class ShardedEngine(SearchEngine):
                 ).astype(jnp.int32)
                 - 1
             )
-            return (
-                jnp.zeros((1, g, tl_c), jnp.int8)
-                .at[0, rows, gram_terms[0]]
-                .set(1, mode="drop")
+            col = gram_terms[0].astype(jnp.int32)
+            slab = max(1, min(g, (2**31 - 1) // max(tl_c, 1)))
+            pieces = []
+            for lo in range(0, g, slab):
+                hi = min(lo + slab, g)
+                loc = rows - np.int32(lo)
+                ok = (
+                    (loc >= 0) & (loc < hi - lo)
+                    & (col >= 0) & (col < tl_c)
+                )
+                flat = jnp.where(
+                    ok, loc * np.int32(tl_c) + col,
+                    np.int32((hi - lo) * tl_c),
+                )
+                pieces.append(
+                    jnp.zeros(((hi - lo) * tl_c,), jnp.int8)
+                    .at[flat]
+                    .set(1, mode="drop")
+                    .reshape(hi - lo, tl_c)
+                )
+            out = (
+                pieces[0] if len(pieces) == 1
+                else jnp.concatenate(pieces, axis=0)
             )
+            return out[None]
 
         gm = jax.jit(
             jax.shard_map(

@@ -1,0 +1,97 @@
+"""Shard-scaling harness: throughput of the sharded engine at 1/2/4/8
+shards over a virtual CPU device mesh.
+
+BASELINE.json tracks multi-host scaling efficiency (>=80% target), but
+this environment exposes ONE physical TPU chip, so real multi-chip
+efficiency cannot be measured here.  This harness exercises the full
+sharded code path (shard_index -> ShardedEngine -> shard_map local
+top-k -> all_gather merge -> replicated global top-k) across mesh sizes
+and reports per-size throughput + parity, which validates the SCALING
+MACHINERY; on a virtual mesh the devices share the same host cores, so
+the numbers characterize overhead (collective + padding cost), not
+speedup.  On real hardware the same script measures true efficiency.
+
+Run:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  JAX_PLATFORMS=cpu python tools/scaling_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+if not int(os.environ.get("SCALE_REAL", 0)):  # virtual CPU mesh (default)
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    import jax
+
+    from stringsearchlib_tpu.config import IndexConfig
+    from stringsearchlib_tpu.index.build import build_index
+    from stringsearchlib_tpu.parallel.dist import (
+        ShardedEngine, make_mesh, shard_index,
+    )
+    from stringsearchlib_tpu.search.engine import SearchEngine
+
+    n_keys = int(os.environ.get("SCALE_KEYS", 100_000))
+    n_queries = int(os.environ.get("SCALE_QUERIES", 128))
+    reps = int(os.environ.get("SCALE_REPS", 3))
+
+    rng = np.random.default_rng(0)
+    alpha = list("abcdefghijklmnop")
+    words = [
+        "".join(rng.choice(alpha, size=rng.integers(6, 20)))
+        for _ in range(n_keys)
+    ]
+    queries = [
+        words[i][:-1] + "x" for i in rng.integers(0, n_keys, n_queries)
+    ]
+
+    host = build_index(words, 1, None, IndexConfig(), to_device=False)
+    ref = SearchEngine(build_index(words, 1, None, IndexConfig()))
+    want = ref.search_batch(queries, 0.3, 10)
+
+    out = {"n_keys": n_keys, "n_queries": n_queries, "configs": {}}
+    base = None
+    n_dev = len(jax.devices())
+    sizes = [s for s in (1, 2, 4, 8) if s <= n_dev]
+    for s in sizes:
+        mesh = make_mesh(s)
+        eng = ShardedEngine(shard_index(host, s), mesh)
+        got = eng.search_batch(queries, 0.3, 10)  # warm + parity
+        match = sum(
+            sorted(zip([round(float(x), 5) for x in a[1]],
+                       [len(k) for k in a[0]]))
+            == sorted(zip([round(float(x), 5) for x in b[1]],
+                          [len(k) for k in b[0]]))
+            for a, b in zip(got, want)
+        )
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            eng.search_batch(queries, 0.3, 10)
+            best = min(best, time.perf_counter() - t0)
+        qps = n_queries / best
+        if base is None:
+            base = qps
+        out["configs"][str(s)] = {
+            "qps": round(qps, 1),
+            "parity": f"{match}/{len(queries)}",
+            "efficiency_vs_1shard": round(qps / (base * s), 3),
+        }
+        assert match == len(queries), f"parity failure at {s} shards"
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
