@@ -59,8 +59,9 @@ class DeviceIndex:
 
     # -- keys ---------------------------------------------------------------
     key_len: jnp.ndarray  # (K,) int32: raw key string length (sort tiebreak)
-    key_norm_tokens: jnp.ndarray  # (K, key_pad) int32: escapeBlank+trim(raw)
-    key_norm_lengths: jnp.ndarray  # (K,) int32
+    # the normalized key token matrix stays HOST-side (HostIndex
+    # .host_key_norm_tokens): promotion eligibility is a host hash lookup
+    # (promo_key_ids), so the (K, W) compare matrix never occupies HBM
 
     @property
     def n_short(self) -> int:

@@ -396,10 +396,6 @@ class HostIndex:
         self.host_key_norm_tokens = norm
         self.host_key_norm_lengths = norm_len.astype(np.int32)
         self._key_hash_cache = None
-        self.device = self.device.replace(
-            key_norm_tokens=_upload_tokens(norm),
-            key_norm_lengths=jnp.asarray(norm_len),
-        )
 
 
 _FNV_OFFSET = np.uint64(1469598103934665603)
@@ -684,8 +680,6 @@ def _build_from_native(
         key_edge_term=dev(ke_term),
         key_edge_weight=dev(ke_w),
         key_len=dev(key_lens.astype(np.int32)),
-        key_norm_tokens=up(knorm),
-        key_norm_lengths=dev(knorm_len.astype(np.int32)),
     )
     return HostIndex(
         config=config,
@@ -893,8 +887,6 @@ def _build_numpy(
         key_edge_term=dev(ke_term),
         key_edge_weight=dev(ke_w),
         key_len=dev(key_lens_raw.astype(np.int32)),
-        key_norm_tokens=up(knorm),
-        key_norm_lengths=dev(knorm_len.astype(np.int32)),
     )
 
     return HostIndex(

@@ -39,13 +39,11 @@ _DEVICE_FIELDS = (
     "term_prim_key", "term_prim_weight",
     "term_extra_ptr", "extra_key", "extra_weight",
     "key_edge_ptr", "key_edge_term", "key_edge_weight",
-    "key_len", "key_norm_tokens", "key_norm_lengths",
+    "key_len",
 )
 
 # stored narrow (uint8/uint32), widened to int32 on device at load
-_TOKEN_FIELDS = frozenset(
-    {"short_tokens", "long_tokens", "key_norm_tokens"}
-)
+_TOKEN_FIELDS = frozenset({"short_tokens", "long_tokens"})
 
 
 def save_index(host: HostIndex, path: Union[str, os.PathLike, io.IOBase]) -> None:

@@ -49,8 +49,8 @@ from ..search.engine import (
     SearchEngine,
     _finalize,
     _floor_and_promote,
-    _key_eq_query,
     _next_pow2,
+    _promo_mask,
     _propagate_raw,
     _term_scores,
 )
@@ -132,8 +132,6 @@ def shard_index(host: HostIndex, n_shards: int) -> ShardedIndex:
     ek = npa(di.edge_key).astype(np.int32)
     ew = npa(di.edge_weight).astype(np.float32)
     key_len = npa(di.key_len).astype(np.int32)
-    knt = npa(di.key_norm_tokens)
-    knl = npa(di.key_norm_lengths).astype(np.int32)
 
     ts, tl = st_g.shape[0], lt_g.shape[0]
     k = key_len.shape[0]
@@ -316,10 +314,6 @@ def shard_index(host: HostIndex, n_shards: int) -> ShardedIndex:
 
     # -- replicated key arrays ---------------------------------------------
     leaves["key_len"] = key_len
-    ghost_tok = np.zeros((1, knt.shape[1]), knt.dtype)
-    ghost_len = np.full((1,), -1, knl.dtype)  # never equals any qlen
-    leaves["key_norm_tokens"] = np.concatenate([knt, ghost_tok])
-    leaves["key_norm_lengths"] = np.concatenate([knl, ghost_len])
 
     return ShardedIndex(
         host=host,
@@ -352,7 +346,8 @@ class _ShardView:
 
     @property
     def n_keys(self):
-        return self.key_norm_lengths.shape[0]
+        # +1: the ghost key row that padded/invalid edges map to
+        return self.key_len.shape[0] + 1
 
 
 # ---------------------------------------------------------------------------
@@ -481,7 +476,7 @@ class _FinalView:
 
 def sharded_dense_batch_step(
     leaves: dict,
-    qtokens, qlens, qslots, n_qgrams, use_short, threshold,
+    qtokens, qlens, qslots, n_qgrams, use_short, promo_ids, threshold,
     *,
     mesh: Mesh,
     compute_short: bool,
@@ -496,14 +491,14 @@ def sharded_dense_batch_step(
     Used for brute-short queries and candidate-guard retries."""
     in_specs = (
         {n: (P(AXIS) if n in _STACKED else P()) for n in leaves},
-        P(), P(), P(), P(), P(), P(),
+        P(), P(), P(), P(), P(), P(), P(),
     )
 
-    def shard_fn(lv, qtok, qls, qsl, nqg, us, thr):
+    def shard_fn(lv, qtok, qls, qsl, nqg, us, qpr, thr):
         di = _ShardView(lv, strip=True)
 
         def one(args):
-            qt, ql, sl, ng, u = args
+            qt, ql, sl, ng, u, pr = args
             s_a, mask_a, s_b, mask_b = _term_scores(
                 di, qt, ql, sl, ng,
                 use_short=compute_short, brute_long=brute, s_cap=s_cap,
@@ -514,16 +509,17 @@ def sharded_dense_batch_step(
                     [jnp.broadcast_to(u, (ts,)),
                      jnp.zeros((di.n_long,), bool)]
                 )
-            eq_key = _key_eq_query(di, qt, ql)
+            eq_key = _promo_mask(di.n_keys, pr)
             return _propagate_raw(di, s_a, mask_a, s_b, mask_b, eq_key, thr)
 
-        key_val, promo = jax.vmap(one)((qtok, qls, qsl, nqg, us))
+        key_val, promo = jax.vmap(one)((qtok, qls, qsl, nqg, us, qpr))
         return jax.lax.pmax(key_val, AXIS), jax.lax.pmax(promo, AXIS)
 
     key_val, promo = jax.shard_map(
         shard_fn, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
         check_vma=False,
-    )(leaves, qtokens, qlens, qslots, n_qgrams, use_short, threshold)
+    )(leaves, qtokens, qlens, qslots, n_qgrams, use_short, promo_ids,
+      threshold)
 
     fv = _FinalView(leaves["key_len"])
 
@@ -913,6 +909,19 @@ class ShardedEngine(SearchEngine):
                     retry.append(item)
         return retry, n_cand, n_lanes
 
+    def _chunk_promo(self, chunk, b: int) -> np.ndarray:
+        """(b, PROMO_KEYS) int32 promotion key ids for a prepared chunk.
+        Items carry them at index 3 when the candidate path prepared them;
+        dense/brute items are (pos, qnorm, qlen) and look them up here."""
+        promo = np.full((b, self.PROMO_KEYS), -1, np.int32)
+        for r, item in enumerate(chunk):
+            pids = (
+                item[3] if len(item) > 3 and item[3] is not None
+                else self.host.promo_key_ids(item[1], item[2])
+            )[: self.PROMO_KEYS]
+            promo[r, : pids.size] = pids
+        return promo
+
     def _run_dense_chunks(self, items, threshold, limit, batch_bucket, qp,
                           out):
         top_k = self._top_k(limit)
@@ -949,6 +958,7 @@ class ShardedEngine(SearchEngine):
                 lv,
                 self._rep(qtok), self._rep(qlens), self._rep(slots),
                 self._rep(nqg), self._rep(use_short),
+                self._rep(self._chunk_promo(chunk, b)),
                 np.float32(threshold),
             )
             pending.append((chunk, res))
@@ -1002,6 +1012,7 @@ class ShardedEngine(SearchEngine):
                 lv,
                 self._rep(qtok), self._rep(qlens), self._rep(slots),
                 self._rep(nqg), self._rep(np.ones(b, bool)),
+                self._rep(self._chunk_promo(chunk, b)),
                 np.float32(threshold),
             )
             pending.append((chunk, res))

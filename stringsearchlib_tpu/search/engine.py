@@ -47,15 +47,15 @@ def _next_pow2(n: int, lo: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _key_eq_query(di, qtokens, qlen):
-    """(K,) bool: escapeBlank+trim(raw key) == normalized query
-    (exact-match promotion comparison, nGramSearch.hpp:328-336; note the
-    stored key is NOT uppercased, so promotion requires the key text to
-    already match the uppercased query)."""
-    k_tok, k_len = di.key_norm_tokens, di.key_norm_lengths
-    w = min(k_tok.shape[1], qtokens.shape[0])
-    tok_eq = jnp.all(k_tok[:, :w] == qtokens[None, :w], axis=1)
-    return tok_eq & (k_len == qlen)
+def _promo_mask(n_keys: int, promo_ids):
+    """(n_keys,) bool promotion-eligibility mask from host-precomputed key
+    ids (HostIndex.promo_key_ids: keys whose escapeBlank+trim(raw) text
+    equals the normalized query, nGramSearch.hpp:328-336).  The host hash
+    lookup replaces an on-device (K, W) token compare so the normalized
+    key token matrix never has to live in HBM (320 MB upload + 1.3 GB
+    resident at 10M keys)."""
+    idx = jnp.where(promo_ids >= 0, promo_ids, n_keys)
+    return jnp.zeros((n_keys,), bool).at[idx].set(True, mode="drop")
 
 
 def _term_scores(di, qtokens, qlen, qslots, n_qgrams, *, use_short, brute_long, s_cap):
@@ -151,7 +151,8 @@ def _finalize(di, score, reached, top_k: int):
 
 
 def search_device_impl(
-    di, qtokens, qlen, qslots, n_qgrams, threshold, *, use_short, brute_long, s_cap, top_k
+    di, qtokens, qlen, qslots, n_qgrams, promo_ids, threshold, *,
+    use_short, brute_long, s_cap, top_k
 ):
     """Unjitted single-device search step (jit-traceable; statics closed
     over by the caller).  Exposed for __graft_entry__ and the sharded path."""
@@ -159,7 +160,7 @@ def search_device_impl(
         di, qtokens, qlen, qslots, n_qgrams,
         use_short=use_short, brute_long=brute_long, s_cap=s_cap,
     )
-    eq_key = _key_eq_query(di, qtokens, qlen)
+    eq_key = _promo_mask(di.n_keys, promo_ids)
     score, reached = _propagate(di, s_a, mask_a, s_b, mask_b, eq_key, threshold)
     return _finalize(di, score, reached, top_k)
 
@@ -170,7 +171,7 @@ _search_device = functools.partial(
 
 
 def search_batch_device_impl(
-    di, qtokens, qlens, qslots, n_qgrams, use_short, threshold,
+    di, qtokens, qlens, qslots, n_qgrams, use_short, promo_ids, threshold,
     *, compute_short, s_cap, top_k,
 ):
     """Batched search: one device dispatch scores B queries.
@@ -187,7 +188,7 @@ def search_batch_device_impl(
     """
 
     def one(args):
-        qtok, qlen, slots, nqg, us = args
+        qtok, qlen, slots, nqg, us, promo = args
         ts, tl = di.n_short, di.n_long
         qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
         if compute_short:
@@ -209,11 +210,13 @@ def search_batch_device_impl(
             [jnp.zeros((ts,), bool), (hits > 0) & (nqg > 0)]
         )
 
-        eq_key = _key_eq_query(di, qtok, qlen)
+        eq_key = _promo_mask(di.n_keys, promo)
         score, reached = _propagate(di, s_a, mask_a, s_b, mask_b, eq_key, threshold)
         return _finalize(di, score, reached, top_k)
 
-    return jax.vmap(one)((qtokens, qlens, qslots, n_qgrams, use_short))
+    return jax.vmap(one)(
+        (qtokens, qlens, qslots, n_qgrams, use_short, promo_ids)
+    )
 
 
 _search_batch_device = functools.partial(
@@ -222,7 +225,8 @@ _search_batch_device = functools.partial(
 
 
 def search_brute_batch_device_impl(
-    di, qtokens, qlens, qslots, n_qgrams, threshold, *, s_cap, top_k
+    di, qtokens, qlens, qslots, n_qgrams, promo_ids, threshold, *,
+    s_cap, top_k
 ):
     """Batched brute-force tier for qlen <= gram_size queries.
 
@@ -234,7 +238,7 @@ def search_brute_batch_device_impl(
     """
 
     def one(args):
-        qtok, qlen, slots, nqg = args
+        qtok, qlen, slots, nqg, promo = args
         ts, tl = di.n_short, di.n_long
         qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
         m_short = dp_match(di.short_tokens, di.short_lengths, qtok, qlen)
@@ -250,13 +254,13 @@ def search_brute_batch_device_impl(
         mask_b = jnp.concatenate(
             [jnp.zeros((ts,), bool), (hits > 0) & (nqg > 0)]
         )
-        eq_key = _key_eq_query(di, qtok, qlen)
+        eq_key = _promo_mask(di.n_keys, promo)
         score, reached = _propagate(
             di, s_a, mask_a, s_b, mask_b, eq_key, threshold
         )
         return _finalize(di, score, reached, top_k)
 
-    return jax.vmap(one)((qtokens, qlens, qslots, n_qgrams))
+    return jax.vmap(one)((qtokens, qlens, qslots, n_qgrams, promo_ids))
 
 
 _search_brute_batch_device = functools.partial(
@@ -369,12 +373,16 @@ class SearchEngine:
             qtok, qmax, slots, n_qgrams, s_cap = self._query_buffers(qnorm, qlen)
             use_short = qlen < self.cfg.short_search_cutoff
             brute_long = qlen <= self.cfg.brute_force_cutoff
+            promo = np.full(self.PROMO_KEYS, -1, np.int32)
+            pids = self.host.promo_key_ids(qnorm, qlen)
+            promo[: pids.size] = pids[: self.PROMO_KEYS]
             count, ids, scores = _search_device(
                 di,
                 jnp.asarray(qtok),
                 np.int32(qlen),
                 jnp.asarray(slots),
                 np.int32(n_qgrams),
+                jnp.asarray(promo),
                 np.float32(threshold),
                 use_short=use_short,
                 brute_long=brute_long,
@@ -517,6 +525,7 @@ class SearchEngine:
                 jnp.asarray(qlens),
                 jnp.asarray(slots),
                 jnp.asarray(nqg),
+                jnp.asarray(self._promo_array(chunk, b)),
                 np.float32(threshold),
                 s_cap=s_cap,
                 top_k=top_k,
@@ -573,6 +582,18 @@ class SearchEngine:
         s_cap = _next_pow2(max(s_total, 1), 1024)
         return b, qtok, qlens, slots, nqg, use_short, s_cap
 
+    def _promo_array(self, chunk, b: int) -> np.ndarray:
+        """(b, PROMO_KEYS) int32 promotion key ids (-1 padded) from
+        prepared items (pos, qnorm, qlen, promo_ids)."""
+        promo = np.full((b, self.PROMO_KEYS), -1, np.int32)
+        for r, item in enumerate(chunk):
+            pids = item[3] if len(item) > 3 and item[3] is not None else (
+                self.host.promo_key_ids(item[1], item[2])
+            )
+            pids = pids[: self.PROMO_KEYS]
+            promo[r, : pids.size] = pids
+        return promo
+
     def _emit_row(self, out, pos, count, ids_row, scores_row, limit):
         n = min(int(count), limit, ids_row.shape[0])
         out[pos] = (
@@ -594,6 +615,7 @@ class SearchEngine:
                 jnp.asarray(slots),
                 jnp.asarray(nqg),
                 jnp.asarray(use_short),
+                jnp.asarray(self._promo_array(chunk, b)),
                 np.float32(threshold),
                 compute_short=bool(use_short.any()),
                 s_cap=s_cap,

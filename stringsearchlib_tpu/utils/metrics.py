@@ -52,8 +52,7 @@ def index_stats(host) -> dict:
             d.short_tokens, d.short_lengths, d.long_tokens, d.long_lengths,
             d.gram_ptr, d.gram_terms, d.edge_term, d.edge_key, d.edge_weight,
             d.term_edge_ptr, d.term_wmax, d.key_edge_ptr, d.key_edge_term,
-            d.key_edge_weight, d.key_len, d.key_norm_tokens,
-            d.key_norm_lengths,
+            d.key_edge_weight, d.key_len,
         ),
     }
 
