@@ -456,12 +456,28 @@ class SearchEngine:
             )
         )
         ke_counts = self.host.host_key_edge_counts
-        for i, q in enumerate(queries):
-            raw = q if isinstance(q, str) else str(q)
+        # one encode + one normalize matrix pass for the whole batch, and
+        # one vectorized promo hash pass: the per-query versions measured
+        # 68 ms + 132 ms per 512 queries of pure host overhead
+        raws = [q if isinstance(q, str) else str(q) for q in queries]
+        nz = [i for i, r in enumerate(raws) if len(r) > 0 and r != "*"]
+        if nz:
+            tokens, lengths = textlib.encode_batch(
+                [raws[i] for i in nz], self.cfg.wide
+            )
+            norm_tok, norm_len = textlib.normalize_matrix(
+                tokens, lengths, self.host.tables
+            )
+            promo_rows = (
+                self.host.promo_key_ids_batch(norm_tok, norm_len)
+                if want_cand else [None] * len(nz)
+            )
+        for i, raw in enumerate(raws):
             if len(raw) == 0 or raw == "*":
                 out[i] = self._search_impl(raw, threshold, limit)
-                continue
-            qnorm, qlen = self._normalize_query(raw)
+        for j, i in enumerate(nz):
+            raw = raws[i]
+            qnorm, qlen = norm_tok[j], int(norm_len[j])
             if qlen == 0:
                 out[i] = ([], [])
             elif qlen <= self.cfg.brute_force_cutoff:
@@ -471,7 +487,7 @@ class SearchEngine:
             else:
                 promo = None
                 if want_cand:
-                    pids = self.host.promo_key_ids(qnorm, qlen)
+                    pids = promo_rows[j]
                     if pids.size <= self.PROMO_KEYS and (
                         pids.size == 0
                         or int(ke_counts[pids].max()) <= self.PROMO_EDGES
@@ -597,7 +613,7 @@ class SearchEngine:
     def _emit_row(self, out, pos, count, ids_row, scores_row, limit):
         n = min(int(count), limit, ids_row.shape[0])
         out[pos] = (
-            [self.host.key_strings[j] for j in ids_row[:n]],
+            self.host.key_strings.take(ids_row[:n]),
             [float(s) for s in scores_row[:n]],
         )
 
