@@ -673,9 +673,10 @@ class ShardedEngine(SearchEngine):
     # -- host-side prep overrides -----------------------------------------
 
     def _prep_rows(self, chunk, qp, min_b: int = 16):
-        """Same buffers as the single-chip engine, but s_cap is the MAX over
-        shards of each query's local posting total (each shard expands only
-        its own postings)."""
+        """Same buffers as the single-chip engine (one batched gram
+        extraction + slot lookup), but s_cap is the MAX over shards of each
+        query's local posting total (each shard expands only its own
+        postings)."""
         from ..core import grams as gramlib
 
         g = self.cfg.gram_size
@@ -685,28 +686,33 @@ class ShardedEngine(SearchEngine):
         qtok = np.zeros((b, qp), dtype=np.int32)
         qlens = np.zeros(b, dtype=np.int32)
         slots = np.full((b, qmax), -1, dtype=np.int32)
-        nqg = np.zeros(b, dtype=np.int32)
-        use_short = np.zeros(b, dtype=bool)
-        s_total = 0
         for r, item in enumerate(chunk):
-            _, qnorm, qlen = item[0], item[1], item[2]
-            qtok[r, :qlen] = qnorm[:qlen]
+            qlen = item[2]
+            qtok[r, :qlen] = item[1][:qlen]
             qlens[r] = qlen
-            use_short[r] = qlen < self.cfg.short_search_cutoff
-            if qlen >= g:
-                n = qlen - g + 1
-                nqg[r] = n
-                ids, valid = gramlib.gram_ids(
-                    qnorm[None, : max(qlen, g)], np.array([qlen]), g,
-                    self.cfg.wide, self.host.vocab,
+        use_short = (qlens > 0) & (qlens < self.cfg.short_search_cutoff)
+        nqg = np.maximum(qlens - (g - 1), 0).astype(np.int32)
+        nn = len(chunk)
+        s_total = 0
+        if nn and qmax > 0:
+            ids, valid = gramlib.gram_ids(
+                qtok[:nn], qlens[:nn], g, self.cfg.wide, self.host.vocab
+            )
+            rowslots = np.full(ids.shape, -1, np.int32)
+            fv = valid.ravel()
+            if fv.any():
+                rowslots.ravel()[fv] = self.host.lookup_gram_slots(
+                    ids.ravel()[fv]
                 )
-                row = self.host.lookup_gram_slots(ids[0][valid[0]])
-                slots[r, :n] = row
-                present = row[row >= 0]
-                if present.size:
-                    s_total = max(
-                        s_total, int(lens2d[:, present].sum(axis=1).max())
-                    )
+            m = min(qmax, rowslots.shape[1])
+            slots[:nn, :m] = rowslots[:, :m]
+            if lens2d.size:
+                # (S, B, Q) gather is tiny (S shards x chunk x windows)
+                per = np.where(
+                    rowslots[None, :, :] >= 0,
+                    lens2d[:, np.clip(rowslots, 0, None)], 0,
+                ).sum(axis=2)
+                s_total = int(per.max()) if per.size else 0
         s_cap = _next_pow2(max(s_total, 1), 1024)
         return b, qtok, qlens, slots, nqg, use_short, s_cap
 
