@@ -316,12 +316,12 @@ class HostIndex:
         if self._bitmap_cache is not None:
             bm = self._bitmap_cache
             return None if bm is False else bm
-        from ..ops.bitmap_matmul import TILE_LANES
+        from ..ops.bitmap_matmul import TILE_LANES, g_padding
 
         g = self.n_grams
         tl = int(self.device.long_lengths.shape[0])
         tl_pad = -(-max(tl, 1) // TILE_LANES) * TILE_LANES
-        g_pad = -(-max(g, 1) // 128) * 128
+        g_pad = g_padding(g)
         if g == 0 or tl == 0 or g_pad * (tl_pad // 8) > budget_bytes:
             self._bitmap_cache = False
             return None

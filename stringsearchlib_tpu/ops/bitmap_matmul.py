@@ -55,14 +55,29 @@ def plane_coords(term):
     return j * BLKB + r % BLKB, r // BLKB
 
 
+# gram rows per grid block: tables with more rows than this are G-tiled
+# and the output block accumulates across G steps (counts stay <= 127,
+# so int8 partial sums are exact)
+GBLK = 2048
+
+
+def g_padding(g: int) -> int:
+    """Row padding the table must be built with: 128-multiple when one G
+    block covers it, GBLK-multiple otherwise (<= 4% overhead at 47k+)."""
+    if g <= GBLK:
+        return -(-max(g, 1) // 128) * 128
+    return -(-g // GBLK) * GBLK
+
+
 def vmem_bytes(b: int, g_pad: int) -> int:
     """Rough VMEM bytes for a (b, g_pad) batch: q + 2x byte tile +
-    unpacked bf16 plane + f32 acc + 2x int8 out block."""
+    unpacked plane + acc + 2x int8 out block, at the G-block size."""
+    gb = min(g_pad, GBLK)
     return (
-        2 * b * g_pad  # q bf16
-        + 2 * g_pad * BLKB  # byte tile, double-buffered
-        + 2 * g_pad * BLKB  # bf16 plane
-        + 4 * b * BLKB  # f32 acc
+        2 * b * gb  # q block
+        + 2 * gb * BLKB  # byte tile, double-buffered
+        + 2 * gb * BLKB  # unpacked plane
+        + 4 * b * BLKB  # acc
         + 2 * b * TILE_LANES  # int8 out block, double-buffered
     )
 
@@ -71,27 +86,34 @@ def fits_vmem(b: int, g_pad: int) -> bool:
     return vmem_bytes(b, g_pad) <= _VMEM_BUDGET
 
 
-def _kernel(q_ref, bm_ref, out_ref):
-    q = q_ref[:]  # (B, Gp) bf16
-    t = bm_ref[:]  # (Gp, BLKB) int8 (packed bits)
-    for p in range(8):
-        # sign bit via and+ne, not `t < 0`: Mosaic lacks signed cmpi on i8
-        bit = (t & np.int8(-128 if p == 7 else 1 << p)) != 0
-        plane = bit.astype(jnp.bfloat16)
-        acc = jnp.dot(q, plane, preferred_element_type=jnp.float32)
-        out_ref[:, p * BLKB : (p + 1) * BLKB] = acc.astype(jnp.int8)
+def _make_kernel(int8_dots: bool, gtiles: int):
+    dot_t = jnp.int8 if int8_dots else jnp.bfloat16
+    acc_t = jnp.int32 if int8_dots else jnp.float32
 
+    def kernel(q_ref, bm_ref, out_ref):
+        q = q_ref[:]  # (B, Gblk)
+        t = bm_ref[:]  # (Gblk, BLKB) int8 (packed bits)
+        for p in range(8):
+            # sign bit via and+ne: Mosaic lacks signed cmpi on i8
+            bit = (t & np.int8(-128 if p == 7 else 1 << p)) != 0
+            acc = jnp.dot(
+                q, bit.astype(dot_t), preferred_element_type=acc_t
+            ).astype(jnp.int8)
+            sl = slice(p * BLKB, (p + 1) * BLKB)
+            if gtiles == 1:
+                out_ref[:, sl] = acc
+            else:
+                gi = pl.program_id(1)
 
-def _kernel_i8(q_ref, bm_ref, out_ref):
-    """int8-operand variant: v5e MXU does 2x the int8 MACs of bf16.
-    Counts <= 127 so si8 x si8 -> si32 accumulation is exact."""
-    q = q_ref[:]  # (B, Gp) int8
-    t = bm_ref[:]
-    for p in range(8):
-        bit = (t & np.int8(-128 if p == 7 else 1 << p)) != 0
-        plane = bit.astype(jnp.int8)
-        acc = jnp.dot(q, plane, preferred_element_type=jnp.int32)
-        out_ref[:, p * BLKB : (p + 1) * BLKB] = acc.astype(jnp.int8)
+                @pl.when(gi == 0)
+                def _init(acc=acc, sl=sl):
+                    out_ref[:, sl] = acc
+
+                @pl.when(gi > 0)
+                def _accum(acc=acc, sl=sl):
+                    out_ref[:, sl] = out_ref[:, sl] + acc
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "int8_dots"))
@@ -100,27 +122,37 @@ def bitmap_hits(qcnt, planes, *, interpret: bool | None = None,
     """qcnt (B, Gp) bf16 gram multiplicities  x  planes (Gp, NB) int8
     packed incidence  ->  hits (B, NB * 8) int8, term-ordered columns.
 
-    Gp must be a multiple of 128 and NB of BLKB (HostIndex pads both).
+    Gp must equal g_padding(G) (HostIndex builds it so); tables wider
+    than GBLK rows stream in G blocks with int8 accumulation into the
+    revisited output block - gram-RICH corpora (50k+ grams) get the MXU
+    path instead of the XLA per-slot scan.
     """
     if interpret is None:
         interpret = INTERPRET
     b, gp = qcnt.shape
     gp2, nb = planes.shape
-    assert gp == gp2 and gp % 128 == 0 and nb % BLKB == 0, (b, gp, gp2, nb)
+    assert gp == gp2 and nb % BLKB == 0, (b, gp, gp2, nb)
+    gblk = min(gp, GBLK)
+    assert gp % gblk == 0 and gp % 128 == 0, (gp, gblk)
+    gtiles = gp // gblk
     ntiles = nb // BLKB
     if int8_dots:
         qcnt = qcnt.astype(jnp.int8)
+    grid = (ntiles,) if gtiles == 1 else (ntiles, gtiles)
+    ix = (lambda j: (0, 0)) if gtiles == 1 else (lambda j, gi: (0, gi))
+    bx = (lambda j: (0, j)) if gtiles == 1 else (lambda j, gi: (gi, j))
+    ox = (lambda j: (0, j)) if gtiles == 1 else (lambda j, gi: (0, j))
     return pl.pallas_call(
-        _kernel_i8 if int8_dots else _kernel,
-        grid=(ntiles,),
+        _make_kernel(int8_dots, gtiles),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((b, gp), lambda j: (0, 0)),
-            pl.BlockSpec((gp, BLKB), lambda j: (0, j)),
+            pl.BlockSpec((b, gblk), ix),
+            pl.BlockSpec((gblk, BLKB), bx),
         ],
-        out_specs=pl.BlockSpec((b, TILE_LANES), lambda j: (0, j)),
+        out_specs=pl.BlockSpec((b, TILE_LANES), ox),
         out_shape=jax.ShapeDtypeStruct((b, ntiles * TILE_LANES), jnp.int8),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary",) * len(grid),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * gp * ntiles * TILE_LANES,

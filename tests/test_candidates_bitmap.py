@@ -168,3 +168,32 @@ def test_incidence_slabs_multislab_parity(host_engine):
         host._incidence_slabs(g, tl, "ones", max_flat=2 * tl)
     )
     np.testing.assert_array_equal(many, gm)
+
+
+def test_bitmap_kernel_gtiled_parity(monkeypatch):
+    """Multi-G-tile kernel (forced by a tiny GBLK) must accumulate to the
+    same counts as the whole-table reference, both dot dtypes."""
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.ops import bitmap_matmul as bm
+
+    monkeypatch.setattr(bm, "GBLK", 256)
+    rng = np.random.default_rng(5)
+    gp, nb = 1024, 2 * bm.BLKB  # 4 G tiles x 2 T tiles
+    planes = jnp.asarray(
+        rng.integers(0, 256, size=(gp, nb), dtype=np.uint8).view(np.int8)
+    )
+    # respect the <= 127 count contract (hits <= n_qgrams): each query
+    # activates <= 40 grams with multiplicities <= 3, spread across tiles
+    qf = np.zeros((8, gp), np.float32)
+    for r in range(8):
+        cols = rng.choice(gp, 40, replace=False)
+        qf[r, cols] = rng.integers(1, 4, 40)
+    q = jnp.asarray(qf, dtype=jnp.bfloat16)
+    want = np.asarray(bm.bitmap_hits_ref(q, planes))
+    got = np.asarray(bm.bitmap_hits(q, planes, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    got8 = np.asarray(
+        bm.bitmap_hits(q, planes, interpret=True, int8_dots=True)
+    )
+    np.testing.assert_array_equal(got8, want)
