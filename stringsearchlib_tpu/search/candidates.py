@@ -495,6 +495,26 @@ def _unpack_planes(rows):
     return jnp.concatenate(planes, axis=-2).reshape(*lead, nb * 8)
 
 
+# blockmax formulation over the (B, Tl) hits matrix: "reduce_window"
+# maps onto XLA:TPU's maxpool path, "reshape" is the naive lane reduce.
+# Switched by measurement on hardware (tools/probe_blockmax.py).
+BLOCKMAX_IMPL = "reduce_window"
+
+
+def block_hmax(hits, nblk, blk):
+    """(B, nblk*blk) int hits -> (B, nblk) per-contiguous-blk-lane max."""
+    b = hits.shape[0]
+    if BLOCKMAX_IMPL == "reduce_window":
+        if jnp.issubdtype(hits.dtype, jnp.floating):
+            neg = np.asarray(-np.inf, hits.dtype)
+        else:
+            neg = np.asarray(np.iinfo(np.dtype(hits.dtype)).min, hits.dtype)
+        return jax.lax.reduce_window(
+            hits, neg, jax.lax.max, (1, blk), (1, blk), "VALID",
+        )
+    return jnp.max(hits.reshape(b, nblk, blk), axis=2)
+
+
 def _blockmax_finish(
     di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
     limits, threshold, *, compute_short, n_cand, n_edge, promo_edges,
@@ -523,7 +543,7 @@ def _blockmax_finish(
     wmax_long = di.term_wmax[ts:]
     wpad = jnp.pad(wmax_long, (0, tlp - tl)) if tlp > tl else wmax_long
     h3 = hits.reshape(b, nblk, _BLK)
-    hmax = jnp.max(h3, axis=2)  # (b, nblk) int8: no f32 over full lanes
+    hmax = block_hmax(hits, nblk, _BLK)  # (b, nblk) int8: no f32 full pass
     smax = hmax.astype(jnp.float32) / nqg3[:, :, 0]
     wblk = jnp.max(wpad.reshape(nblk, _BLK), axis=1)  # (nblk,)
     nonempty = (hmax > 0) & (n_qgrams[:, None] > 0) & (smax >= threshold)
