@@ -106,7 +106,11 @@ class HostIndex:
     host_key_edge_counts: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0, np.int32)
     )
+    # host copy of the (length-ascending) long-tier lengths; None = fetch
+    # lazily from device when the width buckets are first needed
+    host_long_lengths: Optional[np.ndarray] = None
     _key_hash_cache: Optional[tuple] = None
+    _dp_bucket_cache: Optional[tuple] = None
     _gram_matrix_cache: object = dataclasses.field(default=None, repr=False)
 
     @property
@@ -428,6 +432,69 @@ class HostIndex:
         )
         return self._prim_table_cache
 
+    # at most this many DP width buckets (each adds one scan to the jitted
+    # program); buckets holding under 1/16 of the tier (or under
+    # DP_MIN_BUCKET_ROWS) merge into a wider neighbor
+    DP_MAX_BUCKETS = 5
+    DP_MIN_BUCKET_ROWS = 512
+
+    def long_dp_buckets(self) -> tuple:
+        """Static ((end_row, width), ...) width buckets over the
+        length-ascending long tier for dp_match_tiered.  () or a single
+        full-width bucket when the tier is uniform (the common case -
+        then the tiered DP degenerates to one plain dp_match)."""
+        if self._dp_bucket_cache is not None:
+            return self._dp_bucket_cache
+        ll = self.host_long_lengths
+        if ll is None:
+            import jax
+
+            ll = np.asarray(jax.device_get(self.device.long_lengths))
+            self.host_long_lengths = ll
+        n = int(ll.shape[0])
+        full_w = int(self.device.long_tokens.shape[1])
+        if n == 0 or ll[0] >= ll[-1] or not np.all(ll[:-1] <= ll[1:]):
+            # empty, uniform, or (legacy load) unsorted tier: one bucket
+            self._dp_bucket_cache = ()
+            return ()
+        min_rows = max(n // 16, self.DP_MIN_BUCKET_ROWS)
+        raw = []
+        lo, w = 0, 8
+        while lo < n:
+            end = int(np.searchsorted(ll, w, side="right")) if w < full_w else n
+            if end > lo:
+                raw.append((end, min(w, full_w)))
+                lo = end
+            w *= 2
+        # fold buckets smaller than min_rows FORWARD into the next (wider)
+        # bucket: the few deferred rows pay the wider width, which is
+        # cheap; merging backward would widen a big narrow bucket instead.
+        folded: list = []
+        start = 0
+        for end, w in raw:
+            if (end - start) >= min_rows:
+                folded.append((end, w))
+                start = end
+        if start < n:
+            # trailing leftover (no wider neighbor): standalone is cheap -
+            # few rows at the tier's max width
+            folded.append(raw[-1])
+        while len(folded) > self.DP_MAX_BUCKETS:
+            # merge the cheapest adjacent pair (least extra row-width work)
+            costs = []
+            b0 = 0
+            for i in range(len(folded) - 1):
+                lo0 = b0
+                end0, w0 = folded[i]
+                end1, w1 = folded[i + 1]
+                costs.append(((end0 - lo0) * (w1 - w0), i))
+                b0 = end0
+            _, i = min(costs)
+            folded[i : i + 2] = [folded[i + 1]]
+        out = tuple(folded) if len(folded) > 1 else ()
+        self._dp_bucket_cache = out
+        return out
+
     def lookup_gram_slots(self, ids: np.ndarray) -> np.ndarray:
         """int64 gram ids -> dense slots in [0, G), or -1 when absent."""
         idx = np.searchsorted(self.gram_ids, ids)
@@ -662,6 +729,40 @@ def build_index(
     )
 
 
+def _long_length_sort_native(d: dict) -> None:
+    """Reorder the native builder's long tier by (length, id) in place.
+
+    Remaps every long-term id consumer in the array dict: the token
+    matrix/lengths, edge_term (global ids: short tier first), and the
+    gram postings (values remapped, then re-sorted within each gram
+    segment so the arrays stay bit-identical to the numpy builder's)."""
+    ll = d["long_lengths"]
+    n_long = ll.shape[0]
+    if n_long == 0:
+        return
+    perm = np.argsort(ll, kind="stable")
+    if np.array_equal(perm, np.arange(n_long)):
+        return
+    rank = np.empty(n_long, dtype=np.int64)
+    rank[perm] = np.arange(n_long)
+    d["long_tokens"] = d["long_tokens"][perm]
+    d["long_lengths"] = ll[perm]
+    ns = d["short_lengths"].shape[0]
+    et = d["edge_term"]
+    is_long = et >= ns
+    et = et.copy()
+    et[is_long] = (ns + rank[et[is_long] - ns]).astype(et.dtype)
+    d["edge_term"] = et
+    gt = rank[d["gram_terms"]].astype(d["gram_terms"].dtype)
+    ptr = d["gram_ptr"].astype(np.int64)
+    if gt.shape[0]:
+        row = np.repeat(
+            np.arange(ptr.shape[0] - 1, dtype=np.int64), np.diff(ptr)
+        )
+        gt = gt[np.lexsort((gt, row))]
+    d["gram_terms"] = gt
+
+
 def _build_from_native(
     nat, words, row_size, weights, config, valid_chars, device_postings=None,
     to_device=True,
@@ -676,6 +777,12 @@ def _build_from_native(
     )
     tables = textlib.TextTables(valid_chars, wide=False)
     dev, up = _converters(to_device)
+
+    # length-sort the long tier (same stable permutation as _build_numpy:
+    # the native builder assigns first-occurrence ids, so sorting its
+    # length vector stably lands on the identical order).  Enables the
+    # width-bucketed brute DP (search.editdist.dp_match_tiered).
+    _long_length_sort_native(d)
 
     # canonical edge order: sorted by (term, key) for the term->edge CSR
     et, ek, ew = d["edge_term"], d["edge_key"], d["edge_weight"]
@@ -752,6 +859,7 @@ def _build_from_native(
         host_key_norm_tokens=knorm,
         host_key_norm_lengths=np.asarray(knorm_len, np.int32),
         host_key_edge_counts=ke_counts,
+        host_long_lengths=np.asarray(d["long_lengths"], np.int32),
     )
 
 
@@ -829,12 +937,19 @@ def _build_numpy(
         is_term[term_sid] = True
         is_key[key_sid] = True
 
-    # -- term table: short tier first, then long, both in string-rank order --
+    # -- term table: short tier first, then long.  Short terms keep
+    # string-rank order; long terms sort by (length, string rank) so the
+    # tier's rows are length-ascending - the brute/long DP then runs in
+    # per-width buckets (search.editdist.dp_match_tiered) instead of
+    # padding every row to the global max.  Term ids are internal, so the
+    # permutation is invisible to results; the native builder applies the
+    # identical stable sort (_build_from_native).
     cutoff = config.long_cutoff
     term_ids = np.where(is_term)[0]
     term_lens_u = ustr_lens[term_ids]
     short_ids = term_ids[term_lens_u < cutoff]
     long_ids = term_ids[term_lens_u >= cutoff]
+    long_ids = long_ids[np.argsort(ustr_lens[long_ids], kind="stable")]
     n_short, n_long = short_ids.shape[0], long_ids.shape[0]
     term_local = np.full(u, -1, np.int64)
     term_local[short_ids] = np.arange(n_short)
@@ -960,4 +1075,5 @@ def _build_numpy(
         host_key_norm_tokens=knorm,
         host_key_norm_lengths=np.asarray(knorm_len, np.int32),
         host_key_edge_counts=ke_counts,
+        host_long_lengths=ll.astype(np.int32),
     )

@@ -135,4 +135,5 @@ def load_index(path: Union[str, os.PathLike, io.IOBase]) -> HostIndex:
             host_key_edge_counts=np.asarray(
                 z["host_key_edge_counts"], np.int32
             ),
+            host_long_lengths=np.asarray(z["dev_long_lengths"], np.int32),
         )

@@ -59,3 +59,33 @@ def dp_match(
     in_range = positions[None, :] <= lengths[:, None]
     mismatch = jnp.min(jnp.where(in_range, row1, _BIG), axis=1)
     return qlen.astype(jnp.int32) - mismatch
+
+
+def dp_match_tiered(
+    tokens: jnp.ndarray,  # (N, L) int32, rows sorted by length ascending
+    lengths: jnp.ndarray,  # (N,) int32, ascending
+    qtokens: jnp.ndarray,
+    qlen: jnp.ndarray,
+    buckets: tuple,  # static ((end_row, width), ...) covering [0, N)
+) -> jnp.ndarray:
+    """dp_match over a length-sorted tier in width buckets.
+
+    The tier's token matrix is padded to its LONGEST member; on skewed
+    corpora (one 256-char term among millions of ~20-char ones) a single
+    dp_match pays that global width for every row.  Build sorts the long
+    tier by normalized length (index.build), so contiguous row ranges
+    share a small bound and each bucket's DP runs at its own width -
+    the length-tier analogue of the reference sizing its DP rows per
+    call (nGramSearch.hpp:234-239).  Empty/degenerate ``buckets`` fall
+    back to one full-width pass.
+    """
+    if len(buckets) <= 1:
+        return dp_match(tokens, lengths, qtokens, qlen)
+    outs = []
+    lo = 0
+    for end, w in buckets:
+        outs.append(
+            dp_match(tokens[lo:end, :w], lengths[lo:end], qtokens, qlen)
+        )
+        lo = end
+    return jnp.concatenate(outs)

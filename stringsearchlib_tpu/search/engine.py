@@ -29,7 +29,7 @@ from ..config import INT32_MAX, PERFECT_SCORE_CUTOFF, PROMOTED_SCORE
 from ..core import grams as gramlib
 from ..core import text as textlib
 from ..index.build import HostIndex
-from .editdist import dp_match
+from .editdist import dp_match, dp_match_tiered
 from .overlap import gather_hits
 
 _NEG_INF = np.float32(-np.inf)
@@ -58,7 +58,10 @@ def _promo_mask(n_keys: int, promo_ids):
     return jnp.zeros((n_keys,), bool).at[idx].set(True, mode="drop")
 
 
-def _term_scores(di, qtokens, qlen, qslots, n_qgrams, *, use_short, brute_long, s_cap):
+def _term_scores(
+    di, qtokens, qlen, qslots, n_qgrams, *,
+    use_short, brute_long, s_cap, long_buckets=(),
+):
     """Per-term scores for both tiers over the global term space [0, T).
 
     Returns (sA, maskA, sB, maskB): tier A is the DP map (scoreShort),
@@ -74,7 +77,9 @@ def _term_scores(di, qtokens, qlen, qslots, n_qgrams, *, use_short, brute_long, 
         m_short = dp_match(di.short_tokens, di.short_lengths, qtokens, qlen)
         s_short = m_short.astype(jnp.float32) / qlen_f
         if brute_long:
-            m_long = dp_match(di.long_tokens, di.long_lengths, qtokens, qlen)
+            m_long = dp_match_tiered(
+                di.long_tokens, di.long_lengths, qtokens, qlen, long_buckets
+            )
             s_a = jnp.concatenate([s_short, m_long.astype(jnp.float32) / qlen_f])
             mask_a = jnp.ones((t,), dtype=bool)
         else:
@@ -152,13 +157,14 @@ def _finalize(di, score, reached, top_k: int):
 
 def search_device_impl(
     di, qtokens, qlen, qslots, n_qgrams, promo_ids, threshold, *,
-    use_short, brute_long, s_cap, top_k
+    use_short, brute_long, s_cap, top_k, long_buckets=()
 ):
     """Unjitted single-device search step (jit-traceable; statics closed
     over by the caller).  Exposed for __graft_entry__ and the sharded path."""
     s_a, mask_a, s_b, mask_b = _term_scores(
         di, qtokens, qlen, qslots, n_qgrams,
         use_short=use_short, brute_long=brute_long, s_cap=s_cap,
+        long_buckets=long_buckets,
     )
     eq_key = _promo_mask(di.n_keys, promo_ids)
     score, reached = _propagate(di, s_a, mask_a, s_b, mask_b, eq_key, threshold)
@@ -166,7 +172,10 @@ def search_device_impl(
 
 
 _search_device = functools.partial(
-    jax.jit, static_argnames=("use_short", "brute_long", "s_cap", "top_k")
+    jax.jit,
+    static_argnames=(
+        "use_short", "brute_long", "s_cap", "top_k", "long_buckets"
+    ),
 )(search_device_impl)
 
 
@@ -226,7 +235,7 @@ _search_batch_device = functools.partial(
 
 def search_brute_batch_device_impl(
     di, qtokens, qlens, qslots, n_qgrams, promo_ids, threshold, *,
-    s_cap, top_k
+    s_cap, top_k, long_buckets=()
 ):
     """Batched brute-force tier for qlen <= gram_size queries.
 
@@ -242,7 +251,9 @@ def search_brute_batch_device_impl(
         ts, tl = di.n_short, di.n_long
         qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
         m_short = dp_match(di.short_tokens, di.short_lengths, qtok, qlen)
-        m_long = dp_match(di.long_tokens, di.long_lengths, qtok, qlen)
+        m_long = dp_match_tiered(
+            di.long_tokens, di.long_lengths, qtok, qlen, long_buckets
+        )
         s_a = jnp.concatenate([m_short, m_long]).astype(jnp.float32) / qlen_f
         mask_a = jnp.ones((ts + tl,), bool)
 
@@ -264,7 +275,7 @@ def search_brute_batch_device_impl(
 
 
 _search_brute_batch_device = functools.partial(
-    jax.jit, static_argnames=("s_cap", "top_k")
+    jax.jit, static_argnames=("s_cap", "top_k", "long_buckets")
 )(search_brute_batch_device_impl)
 
 
@@ -388,6 +399,9 @@ class SearchEngine:
                 brute_long=brute_long,
                 s_cap=s_cap,
                 top_k=top_k,
+                long_buckets=(
+                    self.host.long_dp_buckets() if brute_long else ()
+                ),
             )
 
         # one fetch for all three results: each np.asarray is a separate
@@ -545,6 +559,7 @@ class SearchEngine:
                 np.float32(threshold),
                 s_cap=s_cap,
                 top_k=top_k,
+                long_buckets=self.host.long_dp_buckets(),
             )
             pending.append((chunk, res))
         for chunk, res in pending:
