@@ -109,6 +109,13 @@ class HostIndex:
     # host copy of the (length-ascending) long-tier lengths; None = fetch
     # lazily from device when the width buckets are first needed
     host_long_lengths: Optional[np.ndarray] = None
+    # host copies of the key->edge CSR: the engine expands promotion keys'
+    # edge lists host-side (they are typically 1-2 entries; the on-device
+    # CSR expansion cost 2 x PK x 128 random gathers per query).  None =
+    # fetch lazily from device (serialize keeps them in the npz).
+    host_key_edge_ptr: Optional[np.ndarray] = None
+    host_key_edge_term: Optional[np.ndarray] = None
+    host_key_edge_weight: Optional[np.ndarray] = None
     _key_hash_cache: Optional[tuple] = None
     _dp_bucket_cache: Optional[tuple] = None
     _gram_matrix_cache: object = dataclasses.field(default=None, repr=False)
@@ -431,6 +438,27 @@ class HostIndex:
             d.extra_key, d.extra_weight,
         )
         return self._prim_table_cache
+
+    def key_edge_host(self):
+        """(ptr, term, weight) host copies of the key->edge CSR."""
+        if self.host_key_edge_ptr is None:
+            import jax
+
+            d = self.device
+            self.host_key_edge_ptr = np.asarray(
+                jax.device_get(d.key_edge_ptr)
+            )
+            self.host_key_edge_term = np.asarray(
+                jax.device_get(d.key_edge_term)
+            )
+            self.host_key_edge_weight = np.asarray(
+                jax.device_get(d.key_edge_weight)
+            )
+        return (
+            self.host_key_edge_ptr,
+            self.host_key_edge_term,
+            self.host_key_edge_weight,
+        )
 
     # at most this many DP width buckets (each adds one scan to the jitted
     # program); buckets holding under 1/16 of the tier (or under
@@ -860,6 +888,9 @@ def _build_from_native(
         host_key_norm_lengths=np.asarray(knorm_len, np.int32),
         host_key_edge_counts=ke_counts,
         host_long_lengths=np.asarray(d["long_lengths"], np.int32),
+        host_key_edge_ptr=ke_ptr,
+        host_key_edge_term=ke_term,
+        host_key_edge_weight=ke_w,
     )
 
 
@@ -1076,4 +1107,7 @@ def _build_numpy(
         host_key_norm_lengths=np.asarray(knorm_len, np.int32),
         host_key_edge_counts=ke_counts,
         host_long_lengths=ll.astype(np.int32),
+        host_key_edge_ptr=ke_ptr,
+        host_key_edge_term=ke_term,
+        host_key_edge_weight=ke_w,
     )

@@ -136,4 +136,7 @@ def load_index(path: Union[str, os.PathLike, io.IOBase]) -> HostIndex:
                 z["host_key_edge_counts"], np.int32
             ),
             host_long_lengths=np.asarray(z["dev_long_lengths"], np.int32),
+            host_key_edge_ptr=np.asarray(z["dev_key_edge_ptr"]),
+            host_key_edge_term=np.asarray(z["dev_key_edge_term"]),
+            host_key_edge_weight=np.asarray(z["dev_key_edge_weight"]),
         )

@@ -44,7 +44,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.build import HostIndex
-from ..search.candidates import candidates_matmul_impl, candidates_runs_impl
+from ..search.candidates import (
+    _expand_promo_csr, candidates_matmul_impl, candidates_runs_impl,
+)
 from ..search.engine import (
     SearchEngine,
     _finalize,
@@ -432,18 +434,25 @@ def sharded_candidates_step(
     def shard_fn(lv, qt, ql, qs, ng, us, pr, lim, thr):
         di = _ShardView(lv, strip=True)
         pt, xt = lv["pt"][0], lv["xt"][0]
+        # promo edge lists are SHARD-LOCAL (each shard's key->edge CSR
+        # holds only its terms' edges), so the pack expands on device here;
+        # the single-chip engine ships host-expanded packs instead.
+        _, p_t, p_w = jax.vmap(
+            lambda row: _expand_promo_csr(di, row, promo_edges)
+        )(pr)
         if front == "matmul":
             cnt, keys, scores, lens, bound = candidates_matmul_impl(
-                di, lv["gm"][0], pt, xt, qt, ql, qs, ng, us, pr, lim, thr,
+                di, lv["gm"][0], pt, xt, qt, ql, qs, ng, us, pr, p_t, p_w,
+                lim, thr,
                 compute_short=compute_short, n_cand=n_cand, n_edge=n_edge,
-                promo_edges=promo_edges, top_k=top_k, block_sel=block_sel,
+                top_k=top_k, block_sel=block_sel,
                 with_bound=True,
             )
         else:
             cnt, keys, scores, lens, bound = candidates_runs_impl(
-                di, pt, xt, qt, ql, qs, ng, us, pr, lim, thr,
+                di, pt, xt, qt, ql, qs, ng, us, pr, p_t, p_w, lim, thr,
                 compute_short=compute_short, s_cap=s_cap, n_cand=n_cand,
-                n_edge=n_edge, promo_edges=promo_edges, top_k=top_k,
+                n_edge=n_edge, top_k=top_k,
                 block_sel=block_sel, with_bound=True,
             )
         return (

@@ -142,9 +142,34 @@ def _select_candidates(u_all, n_pass, *, n_cand, block_sel):
     return ub, sel, u_c, blocks_cov & sel_cov
 
 
+def _expand_promo_csr(di, promo, promo_edges):
+    """Per-query promotion pack from the device key->edge CSR.
+
+    Used by the sharded path (parallel.dist), whose promo edge lists are
+    shard-local and only known on device.  The single-chip engine ships
+    host-expanded packs instead (SearchEngine._promo_tables): this CSR
+    expansion costs 2 x PK x promo_edges random gathers per query
+    (~90 ns/element on v5e - ~45 ms per 256-query chunk at 10M keys for
+    edge lists that are typically 1-2 entries long)."""
+    k_total = di.key_len.shape[0]
+    e_total = max(di.key_edge_term.shape[0], 1)
+    kep = di.key_edge_ptr
+    p_c = jnp.clip(promo, 0, k_total - 1)
+    p_valid = promo >= 0
+    pe_pos = jnp.arange(promo_edges, dtype=jnp.int32)
+    p_base = kep[p_c][:, None] + pe_pos[None, :]
+    p_in = (
+        pe_pos[None, :] < (kep[p_c + 1] - kep[p_c])[:, None]
+    ) & p_valid[:, None]
+    p_bc = jnp.clip(p_base, 0, e_total - 1)
+    p_t = jnp.where(p_in, di.key_edge_term[p_bc], -1)
+    p_w = di.key_edge_weight[p_bc]
+    return promo, p_t, p_w
+
+
 def _finish_candidates(
-    di, pt, xt, u_all, s_all, gid_all, n_pass, term_score, promo, limit,
-    threshold, *, n_cand, n_edge, promo_edges, top_k, block_sel=False,
+    di, pt, xt, u_all, s_all, gid_all, n_pass, term_score, promo_pack,
+    limit, threshold, *, n_cand, n_edge, top_k, block_sel=False,
     with_bound=False,
 ):
     """From per-lane upper bounds/scores to the final ranked slice.
@@ -162,14 +187,14 @@ def _finish_candidates(
     s_sel = s_all[sel_c]
     return _finish_selected(
         di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score,
-        promo, limit, threshold, n_edge=n_edge, promo_edges=promo_edges,
+        promo_pack, limit, threshold, n_edge=n_edge,
         top_k=top_k, with_bound=with_bound,
     )
 
 
 def _finish_selected(
-    di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score, promo,
-    limit, threshold, *, n_edge, promo_edges, top_k, with_bound=False,
+    di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score,
+    promo_pack, limit, threshold, *, n_edge, top_k, with_bound=False,
 ):
     """Back half shared by every candidate front end: from selected
     (term id, exact score, validity) triples plus selection bounds to the
@@ -180,6 +205,13 @@ def _finish_selected(
     asserts that coverage.  ``term_score(p_t) -> (p_s, p_pass)`` evaluates
     arbitrary global term ids for the promotion keys' edges.
 
+    ``promo_pack = (promo, p_t, p_w)``: promotion key ids (PK,) plus their
+    pre-expanded edge term ids/weights (PK, PE) (-1-padded terms mark
+    absent edges).  Single-chip callers expand these HOST-side from the
+    key->edge CSR (the lists are typically 1-2 entries; the on-device
+    expansion cost 2 x PK x 128 random gathers per query); the sharded
+    path expands shard-locally via _expand_promo_csr.
+
     Edge handling uses the primary-edge decomposition: each candidate's
     first edge is ONE 4-wide record gather from ``pt`` ([key, weight bits,
     key_len, 0] per term; HostIndex.prim_tables) - random 1D gathers cost
@@ -188,12 +220,12 @@ def _finish_selected(
     ranking sorts instead of re-gathered.  Terms with several master keys
     expand their remaining edges from ``xt`` over ``n_edge`` extra lanes.
     """
+    promo, p_t, p_w = promo_pack
     ts, tl = di.n_short, di.n_long
     t_total = ts + tl
     n_cand = t_sel.shape[0]
     k_total = di.key_len.shape[0]
     x_total = max(di.extra_key.shape[0], 1)
-    e_total = max(di.key_edge_term.shape[0], 1)
     cutoff = np.float32(PERFECT_SCORE_CUTOFF)
 
     # sort candidates by term id before the table gathers: sorted indices
@@ -256,19 +288,10 @@ def _finish_selected(
     cand_score = jnp.maximum(v_sorted, 0.0)  # entryScore 0 floor
     reached_cand = jnp.sum(cand_valid.astype(jnp.int32))
 
-    # -- promotion keys: exact scoring from their edge slices -------------
-    kep = di.key_edge_ptr
+    # -- promotion keys: exact scoring from their pre-expanded edges ------
     p_c = jnp.clip(promo, 0, k_total - 1)
-    p_valid = promo >= 0
-    pe_pos = jnp.arange(promo_edges, dtype=jnp.int32)
-    p_base = kep[p_c][:, None] + pe_pos[None, :]
-    p_in = (
-        pe_pos[None, :] < (kep[p_c + 1] - kep[p_c])[:, None]
-    ) & p_valid[:, None]
-    p_bc = jnp.clip(p_base, 0, e_total - 1)
-    p_t = di.key_edge_term[p_bc]  # (PK, PE) global term ids
-    p_w = di.key_edge_weight[p_bc]
-    p_s, p_pass_t = term_score(p_t)
+    p_in = (p_t >= 0) & (promo >= 0)[:, None]
+    p_s, p_pass_t = term_score(jnp.maximum(p_t, 0))
     p_pass = p_in & p_pass_t
     p_val = jnp.max(jnp.where(p_pass, p_w * p_s, _NEG_INF), axis=1)
     p_reached = p_pass.any(axis=1)
@@ -360,13 +383,14 @@ def candidates_matmul_impl(
     n_qgrams,  # (B,) int32
     use_short,  # (B,) bool
     promo_ids,  # (B, PK) int32, -1 padded
+    promo_terms,  # (B, PK, PE) int32 promo edge term ids, -1 padded
+    promo_weights,  # (B, PK, PE) f32 promo edge weights
     limits,  # (B,) int32
     threshold,  # () f32
     *,
     compute_short: bool,
     n_cand: int,
     n_edge: int,
-    promo_edges: int,
     top_k: int,
     block_sel: bool = False,
     with_bound: bool = False,
@@ -394,16 +418,17 @@ def candidates_matmul_impl(
     ).astype(jnp.float32)
     return _dense_hits_finish(
         di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
-        limits, threshold, compute_short=compute_short, n_cand=n_cand,
-        n_edge=n_edge, promo_edges=promo_edges, top_k=top_k,
+        promo_terms, promo_weights, limits, threshold,
+        compute_short=compute_short, n_cand=n_cand,
+        n_edge=n_edge, top_k=top_k,
         block_sel=block_sel, with_bound=with_bound,
     )
 
 
 def _dense_hits_finish(
     di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
-    limits, threshold, *, compute_short, n_cand, n_edge, promo_edges,
-    top_k, block_sel, with_bound,
+    promo_terms, promo_weights, limits, threshold, *, compute_short,
+    n_cand, n_edge, top_k, block_sel, with_bound,
 ):
     """Shared back half for front ends that produce a dense (B, Tl[_pad])
     EXACT hit-count matrix (MXU matmul / bit-packed bitmap): per-term
@@ -414,7 +439,7 @@ def _dense_hits_finish(
     tlp = hits.shape[1]
 
     def one(args):
-        qtok, qlen, hrow, nqg, us, promo, limit = args
+        qtok, qlen, hrow, nqg, us, promo, p_t, p_w, limit = args
         hrow = hrow.astype(jnp.float32)
         qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
         nqg_f = jnp.maximum(nqg.astype(jnp.float32), 1.0)
@@ -460,21 +485,22 @@ def _dense_hits_finish(
                 return s_long[idx], (p_t >= ts) & pass_long[idx]
 
         return _finish_candidates(
-            di, pt, xt, u_all, s_all, gid_all, n_pass, term_score, promo,
-            limit, threshold, n_cand=n_cand, n_edge=n_edge,
-            promo_edges=promo_edges, top_k=top_k, block_sel=block_sel,
+            di, pt, xt, u_all, s_all, gid_all, n_pass, term_score,
+            (promo, p_t, p_w), limit, threshold, n_cand=n_cand,
+            n_edge=n_edge, top_k=top_k, block_sel=block_sel,
             with_bound=with_bound,
         )
 
     return jax.vmap(one)(
-        (qtokens, qlens, hits, n_qgrams, use_short, promo_ids, limits)
+        (qtokens, qlens, hits, n_qgrams, use_short, promo_ids,
+         promo_terms, promo_weights, limits)
     )
 
 
 candidates_matmul = functools.partial(
     jax.jit,
     static_argnames=(
-        "compute_short", "n_cand", "n_edge", "promo_edges", "top_k",
+        "compute_short", "n_cand", "n_edge", "top_k",
         "block_sel", "with_bound",
     ),
 )(candidates_matmul_impl)
@@ -517,8 +543,8 @@ def block_hmax(hits, nblk, blk):
 
 def _blockmax_finish(
     di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
-    limits, threshold, *, compute_short, n_cand, n_edge, promo_edges,
-    top_k, with_bound,
+    promo_terms, promo_weights, limits, threshold, *, compute_short,
+    n_cand, n_edge, top_k, with_bound,
 ):
     """Back half for HUGE dense hit matrices: never materializes a
     (B, Tl) f32 bound vector (at 10M terms that alone is ~40 B/query/term
@@ -573,8 +599,8 @@ def _blockmax_finish(
     ).reshape(b, kb * _BLK)
 
     def one(args):
-        (qtok, qlen, hrow, u2r, s2r, col2r, u_br, bcov, promo, limit,
-         nqg, us) = args
+        (qtok, qlen, hrow, u2r, s2r, col2r, u_br, bcov, promo, p_t, p_w,
+         limit, nqg, us) = args
         qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
         nqg_f = jnp.maximum(nqg.astype(jnp.float32), 1.0)
 
@@ -621,13 +647,14 @@ def _blockmax_finish(
         covered = bcov & sel_cov
         return _finish_selected(
             di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score,
-            promo, limit, threshold, n_edge=n_edge,
-            promo_edges=promo_edges, top_k=top_k, with_bound=with_bound,
+            (promo, p_t, p_w), limit, threshold, n_edge=n_edge,
+            top_k=top_k, with_bound=with_bound,
         )
 
     return jax.vmap(one)(
         (qtokens, qlens, hits, u2, s2f, col2, u_b, blocks_cov,
-         promo_ids, limits, n_qgrams, use_short)
+         promo_ids, promo_terms, promo_weights, limits, n_qgrams,
+         use_short)
     )
 
 
@@ -647,13 +674,14 @@ def candidates_bitmap_impl(
     n_qgrams,  # (B,) int32
     use_short,  # (B,) bool
     promo_ids,  # (B, PK) int32, -1 padded
+    promo_terms,  # (B, PK, PE) int32 promo edge term ids, -1 padded
+    promo_weights,  # (B, PK, PE) f32 promo edge weights
     limits,  # (B,) int32
     threshold,  # () f32
     *,
     compute_short: bool,
     n_cand: int,
     n_edge: int,
-    promo_edges: int,
     top_k: int,
     block_sel: bool = False,
     with_bound: bool = False,
@@ -684,8 +712,9 @@ def candidates_bitmap_impl(
     hits, _ = jax.lax.scan(step, acc0, qslots.T)
     return _dense_hits_finish(
         di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
-        limits, threshold, compute_short=compute_short, n_cand=n_cand,
-        n_edge=n_edge, promo_edges=promo_edges, top_k=top_k,
+        promo_terms, promo_weights, limits, threshold,
+        compute_short=compute_short, n_cand=n_cand,
+        n_edge=n_edge, top_k=top_k,
         block_sel=block_sel, with_bound=with_bound,
     )
 
@@ -693,7 +722,7 @@ def candidates_bitmap_impl(
 candidates_bitmap = functools.partial(
     jax.jit,
     static_argnames=(
-        "compute_short", "n_cand", "n_edge", "promo_edges", "top_k",
+        "compute_short", "n_cand", "n_edge", "top_k",
         "block_sel", "with_bound",
     ),
 )(candidates_bitmap_impl)
@@ -710,13 +739,14 @@ def candidates_bitmap_mxu_impl(
     n_qgrams,
     use_short,
     promo_ids,
+    promo_terms,
+    promo_weights,
     limits,
     threshold,
     *,
     compute_short: bool,
     n_cand: int,
     n_edge: int,
-    promo_edges: int,
     top_k: int,
     block_sel: bool = False,
     with_bound: bool = False,
@@ -746,14 +776,16 @@ def candidates_bitmap_mxu_impl(
     if block_sel:
         return _blockmax_finish(
             di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short,
-            promo_ids, limits, threshold, compute_short=compute_short,
-            n_cand=n_cand, n_edge=n_edge, promo_edges=promo_edges,
+            promo_ids, promo_terms, promo_weights, limits, threshold,
+            compute_short=compute_short,
+            n_cand=n_cand, n_edge=n_edge,
             top_k=top_k, with_bound=with_bound,
         )
     return _dense_hits_finish(
         di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
-        limits, threshold, compute_short=compute_short, n_cand=n_cand,
-        n_edge=n_edge, promo_edges=promo_edges, top_k=top_k,
+        promo_terms, promo_weights, limits, threshold,
+        compute_short=compute_short, n_cand=n_cand,
+        n_edge=n_edge, top_k=top_k,
         block_sel=False, with_bound=with_bound,
     )
 
@@ -761,7 +793,7 @@ def candidates_bitmap_mxu_impl(
 candidates_bitmap_mxu = functools.partial(
     jax.jit,
     static_argnames=(
-        "compute_short", "n_cand", "n_edge", "promo_edges", "top_k",
+        "compute_short", "n_cand", "n_edge", "top_k",
         "block_sel", "with_bound", "interpret",
     ),
 )(candidates_bitmap_mxu_impl)
@@ -782,6 +814,8 @@ def candidates_runs_impl(
     n_qgrams,  # (B,) int32
     use_short,  # (B,) bool
     promo_ids,  # (B, PK) int32, -1 padded
+    promo_terms,  # (B, PK, PE) int32 promo edge term ids, -1 padded
+    promo_weights,  # (B, PK, PE) f32 promo edge weights
     limits,  # (B,) int32
     threshold,  # () f32
     *,
@@ -789,7 +823,6 @@ def candidates_runs_impl(
     s_cap: int,
     n_cand: int,
     n_edge: int,
-    promo_edges: int,
     top_k: int,
     block_sel: bool = False,
     with_bound: bool = False,
@@ -800,7 +833,7 @@ def candidates_runs_impl(
     p_total = max(di.gram_terms.shape[0], 1)
 
     def one(args):
-        qtok, qlen, slots, nqg, us, promo, limit = args
+        qtok, qlen, slots, nqg, us, promo, p_t, p_w, limit = args
         qmax = slots.shape[0]
         qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
         nqg_f = jnp.maximum(nqg.astype(jnp.float32), 1.0)
@@ -891,9 +924,9 @@ def candidates_runs_impl(
             term_score = long_score
 
         return _finish_candidates(
-            di, pt, xt, u_all, s_all, gid_all, n_pass, term_score, promo,
-            limit, threshold, n_cand=n_cand, n_edge=n_edge,
-            promo_edges=promo_edges, top_k=top_k, block_sel=block_sel,
+            di, pt, xt, u_all, s_all, gid_all, n_pass, term_score,
+            (promo, p_t, p_w), limit, threshold, n_cand=n_cand,
+            n_edge=n_edge, top_k=top_k, block_sel=block_sel,
             with_bound=with_bound,
         )
 
@@ -902,14 +935,15 @@ def candidates_runs_impl(
     # O(B * (s_cap + n_edge [+ Ts])), so the host sizes B from s_cap
     # (SearchEngine._run_candidate_chunks).
     return jax.vmap(one)(
-        (qtokens, qlens, qslots, n_qgrams, use_short, promo_ids, limits)
+        (qtokens, qlens, qslots, n_qgrams, use_short, promo_ids,
+         promo_terms, promo_weights, limits)
     )
 
 
 candidates_runs = functools.partial(
     jax.jit,
     static_argnames=(
-        "compute_short", "s_cap", "n_cand", "n_edge", "promo_edges", "top_k",
+        "compute_short", "s_cap", "n_cand", "n_edge", "top_k",
         "block_sel", "with_bound",
     ),
 )(candidates_runs_impl)

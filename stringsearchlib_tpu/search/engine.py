@@ -622,6 +622,35 @@ class SearchEngine:
         s_cap = _next_pow2(max(s_total, 1), 1024)
         return b, qtok, qlens, slots, nqg, use_short, s_cap
 
+    def _promo_tables(self, promo_all: np.ndarray):
+        """(b, PK, PE) promo edge term ids (-1 padded) and weights from the
+        HOST key->edge CSR.
+
+        The candidate back half scores promotion keys from their exact
+        edge lists; expanding those lists on device cost 2 x PK x 128
+        random gathers per query (~45 ms per 256-query chunk at 10M keys)
+        for lists that are typically 1-2 entries.  PE buckets to the
+        batch's actual maximum (a power of 2, capped by the PROMO_EDGES
+        eligibility gate)."""
+        kep, ket, kew = self.host.key_edge_host()
+        b, pk = promo_all.shape
+        valid = promo_all >= 0
+        p_c = np.clip(promo_all, 0, max(kep.shape[0] - 2, 0))
+        cnt = np.where(valid, kep[p_c + 1] - kep[p_c], 0)
+        pe = _next_pow2(max(int(cnt.max()) if cnt.size else 0, 1), 1)
+        terms = np.full((b, pk, pe), -1, np.int32)
+        weights = np.zeros((b, pk, pe), np.float32)
+        bi, ki = np.nonzero(cnt > 0)
+        if bi.size:
+            c = cnt[bi, ki].astype(np.int64)
+            rep_b = np.repeat(bi, c)
+            rep_k = np.repeat(ki, c)
+            within = np.arange(c.sum()) - np.repeat(np.cumsum(c) - c, c)
+            src = np.repeat(kep[p_c[bi, ki]], c) + within
+            terms[rep_b, rep_k, within] = ket[src]
+            weights[rep_b, rep_k, within] = kew[src]
+        return terms, weights
+
     def _promo_array(self, chunk, b: int) -> np.ndarray:
         """(b, PROMO_KEYS) int32 promotion key ids (-1 padded) from
         prepared items (pos, qnorm, qlen, promo_ids)."""
@@ -740,6 +769,7 @@ class SearchEngine:
         for r, item in enumerate(items):
             pids = item[3]
             promo_all[r, : pids.size] = pids
+        promo_t, promo_w = self._promo_tables(promo_all)
 
         gm = self.host.gram_matrix(self.GM_BUDGET)
         # Tiny batches on HUGE indexes: the bitmap/sketch front ends pay a
@@ -848,12 +878,13 @@ class SearchEngine:
                     jnp.asarray(nqg[sl]),
                     jnp.asarray(use_short[sl]),
                     jnp.asarray(promo_all[sl]),
+                    jnp.asarray(promo_t[sl]),
+                    jnp.asarray(promo_w[sl]),
                     lim_arr,
                     np.float32(threshold),
                     compute_short=compute_short,
                     n_cand=n_cand,
                     n_edge=n_edge,
-                    promo_edges=self.PROMO_EDGES,
                     top_k=top_k,
                     block_sel=block_sel,
                 )
@@ -870,12 +901,13 @@ class SearchEngine:
                     jnp.asarray(nqg[sl]),
                     jnp.asarray(use_short[sl]),
                     jnp.asarray(promo_all[sl]),
+                    jnp.asarray(promo_t[sl]),
+                    jnp.asarray(promo_w[sl]),
                     lim_arr,
                     np.float32(threshold),
                     compute_short=compute_short,
                     n_cand=n_cand,
                     n_edge=n_edge,
-                    promo_edges=self.PROMO_EDGES,
                     top_k=top_k,
                     block_sel=block_sel,
                 )
@@ -898,6 +930,8 @@ class SearchEngine:
                     jnp.asarray(nqg[sl]),
                     jnp.asarray(use_short[sl]),
                     jnp.asarray(promo_all[sl]),
+                    jnp.asarray(promo_t[sl]),
+                    jnp.asarray(promo_w[sl]),
                     lim_arr,
                     np.float32(threshold),
                     d_log2=d_log2,
@@ -908,7 +942,6 @@ class SearchEngine:
                     ksb=ksb,
                     kb=kb,
                     n_edge=n_edge,
-                    promo_edges=self.PROMO_EDGES,
                     top_k=top_k,
                 )
             else:
@@ -922,13 +955,14 @@ class SearchEngine:
                     jnp.asarray(nqg[sl]),
                     jnp.asarray(use_short[sl]),
                     jnp.asarray(promo_all[sl]),
+                    jnp.asarray(promo_t[sl]),
+                    jnp.asarray(promo_w[sl]),
                     lim_arr,
                     np.float32(threshold),
                     compute_short=compute_short,
                     s_cap=s_cap,
                     n_cand=n_cand,
                     n_edge=n_edge,
-                    promo_edges=self.PROMO_EDGES,
                     top_k=top_k,
                     block_sel=block_sel,
                 )

@@ -229,6 +229,8 @@ def candidates_sketch_impl(
     n_qgrams,  # (B,) int32
     use_short,  # (B,) bool
     promo_ids,  # (B, PK) int32, -1 padded
+    promo_terms,  # (B, PK, PE) int32 promo edge term ids, -1 padded
+    promo_weights,  # (B, PK, PE) f32 promo edge weights
     limits,  # (B,) int32
     threshold,  # () f32
     *,
@@ -239,7 +241,6 @@ def candidates_sketch_impl(
     ksb: int,
     kb: int,
     n_edge: int,
-    promo_edges: int,
     top_k: int,
 ):
     ts, tl = di.n_short, di.n_long
@@ -271,7 +272,7 @@ def candidates_sketch_impl(
     blockmax = u_h.reshape(-1, nb, _BLK).max(axis=2)  # (B, NB)
 
     def one(args):
-        (qtok, qlen, slots, nqg, us, promo, limit,
+        (qtok, qlen, slots, nqg, us, promo, p_t_pk, p_w_pk, limit,
          h_row, bm_row) = args
         qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
         nq_f = jnp.maximum(nqg.astype(jnp.float32), 1.0)
@@ -354,13 +355,13 @@ def candidates_sketch_impl(
 
         return _finish_selected(
             di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score,
-            promo, limit, threshold, n_edge=n_edge,
-            promo_edges=promo_edges, top_k=top_k,
+            (promo, p_t_pk, p_w_pk), limit, threshold, n_edge=n_edge,
+            top_k=top_k,
         )
 
     return jax.vmap(one)(
-        (qtokens, qlens, qslots, n_qgrams, use_short, promo_ids, limits,
-         hits8, blockmax)
+        (qtokens, qlens, qslots, n_qgrams, use_short, promo_ids,
+         promo_terms, promo_weights, limits, hits8, blockmax)
     )
 
 
@@ -368,6 +369,6 @@ candidates_sketch = functools.partial(
     jax.jit,
     static_argnames=(
         "d_log2", "compute_short", "n_cand", "n_short_cand", "ksb", "kb",
-        "n_edge", "promo_edges", "top_k",
+        "n_edge", "top_k",
     ),
 )(candidates_sketch_impl)

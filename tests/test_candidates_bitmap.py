@@ -97,15 +97,17 @@ def test_bitmap_mxu_front_end_parity(host_engine, block_sel):
     promo_a = np.full((b, engine.PROMO_KEYS), -1, np.int32)
     for r, it in enumerate(items):
         promo_a[r, : it[3].size] = it[3]
+    promo_t, promo_w = engine._promo_tables(promo_a)
     lim = np.full((b,), 10, np.int32)
     kw = dict(
-        compute_short=True, n_cand=64, n_edge=32, promo_edges=16,
+        compute_short=True, n_cand=64, n_edge=32,
         top_k=16, block_sel=block_sel,
     )
     args = (
         di, bm, pt, xt, jnp.asarray(qtok), jnp.asarray(qlens),
         jnp.asarray(slots_a), jnp.asarray(nqg_a), jnp.asarray(use_short),
-        jnp.asarray(promo_a), jnp.asarray(lim), np.float32(0.25),
+        jnp.asarray(promo_a), jnp.asarray(promo_t), jnp.asarray(promo_w),
+        jnp.asarray(lim), np.float32(0.25),
     )
     got = [np.asarray(x) for x in
            candidates_bitmap_mxu(*args, interpret=True, **kw)]

@@ -64,13 +64,16 @@ def test_block_selection_matches_plain_topk(big_engine):
     assert gm is not None
     pt, xt = host.prim_tables()
 
+    promo_t, promo_w = engine._promo_tables(np.asarray(promo))
+
     def run(block_sel, n_cand):
         return [
             np.asarray(a)
             for a in candidates_matmul(
                 host.device, gm, pt, xt, qtok, qlens, slots, nqg, us,
-                promo, lim, np.float32(0.3), compute_short=cs,
-                n_cand=n_cand, n_edge=16, promo_edges=engine.PROMO_EDGES,
+                promo, promo_t, promo_w, lim, np.float32(0.3),
+                compute_short=cs,
+                n_cand=n_cand, n_edge=16,
                 top_k=16, block_sel=block_sel,
             )
         ]

@@ -179,9 +179,11 @@ def main():
         b, qtok, qlens, slots, nqg, use_short, s_cap = engine._prep_rows(
             items, 32)
         promo = engine._promo_array(items, b)
+        promo_t, promo_w = engine._promo_tables(promo)
         chunks.append((
             jnp.asarray(qtok), jnp.asarray(qlens), jnp.asarray(slots),
             jnp.asarray(nqg), jnp.asarray(use_short), jnp.asarray(promo),
+            jnp.asarray(promo_t), jnp.asarray(promo_w),
         ))
     log(f"prepped {len(chunks)} chunks of B={chunks[0][0].shape[0]}, "
         f"qmax={chunks[0][2].shape[1]}")
@@ -236,12 +238,12 @@ def main():
 
     cs = bool(np.any(jax.device_get(chunks[0][4])))
 
-    def fe(c0, c1, c2, c3, c4, c5):
+    def fe(c0, c1, c2, c3, c4, c5, c6, c7):
         return candidates_bitmap_mxu(
-            di, planes, pt, xt, c0, c1, c2, c3, c4, c5,
+            di, planes, pt, xt, c0, c1, c2, c3, c4, c5, c6, c7,
             jnp.full((B,), 100, jnp.int32), np.float32(THRESHOLD),
             compute_short=cs, n_cand=n_cand,
-            n_edge=16384, promo_edges=128, top_k=128, block_sel=True,
+            n_edge=16384, top_k=128, block_sel=True,
             interpret=interp,
         )
 
