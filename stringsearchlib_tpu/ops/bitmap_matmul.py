@@ -163,6 +163,111 @@ def bitmap_hits(qcnt, planes, *, interpret: bool | None = None,
     )(qcnt, planes)
 
 
+_BMAX_BLK = 128  # selection block width (search.candidates._BLK)
+_SUBS = TILE_LANES // _BMAX_BLK  # 128-lane blocks per layout tile (32)
+
+
+def _make_kernel_bmax(int8_dots: bool, gtiles: int, b: int):
+    """Kernel variant with a fused per-128-lane blockmax epilogue.
+
+    The engine's huge-tier finish (search.candidates._blockmax_finish)
+    needs per-block maxima of the hits matrix; computing them in a
+    separate XLA pass re-reads the whole (B, Tl) hits from HBM (~2.5 GB
+    per 256-query batch at 10M keys).  Here the maxima come out of the
+    same VMEM-resident tile the kernel just produced.
+
+    Mosaic constraints shape the epilogue: no narrow-lane tensors (a
+    (B, 32) result is illegal), no signed i8 compares.  So the reduce is
+    a 7-step lane-rotation max in bf16 over the (B*32, 128) view, after
+    which every lane of block s holds its max; an iota mask then keeps
+    lane l only where l == s and a sublane max compacts the tile's 32
+    block maxima into lanes [0, 32) of a full (B, 128) vector (lanes
+    [32, 128) are -1).  The caller slices them back out.
+    """
+    base = _make_kernel(int8_dots, gtiles)
+
+    def kernel(q_ref, bm_ref, out_ref, bmax_ref):
+        base(q_ref, bm_ref, out_ref)
+        gi = pl.program_id(1) if gtiles > 1 else 0
+
+        @pl.when(gi == gtiles - 1)
+        def _epilogue():
+            a = out_ref[:].astype(jnp.bfloat16)  # (b, TILE_LANES)
+            a2 = a.reshape(b * _SUBS, _BMAX_BLK)
+            for sh in (1, 2, 4, 8, 16, 32, 64):
+                a2 = jnp.maximum(a2, pltpu.roll(a2, sh, 1))
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (b * _SUBS, _BMAX_BLK), 1
+            )
+            sub = jax.lax.broadcasted_iota(
+                jnp.int32, (b * _SUBS, _BMAX_BLK), 0
+            ) % _SUBS
+            m = jnp.where(lane == sub, a2, jnp.bfloat16(-1.0))
+            red = jnp.max(m.reshape(b, _SUBS, _BMAX_BLK), axis=1)
+            bmax_ref[:] = red.astype(jnp.int8)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "int8_dots"))
+def bitmap_hits_bmax(qcnt, planes, *, interpret: bool | None = None,
+                     int8_dots: bool = False):
+    """bitmap_hits + fused per-128-lane blockmax.
+
+    Returns (hits (B, NB*8) int8, bmax (B, NB*8/128) int8): bmax[:, c] =
+    max(hits[:, 128c : 128c+128]), computed in VMEM before the hits tile
+    leaves the kernel (no second full-matrix HBM pass).  Padding lanes
+    yield bmax -1 (< any count), matching block_hmax's never-selected
+    semantics for empty blocks."""
+    if interpret is None:
+        interpret = INTERPRET
+    b, gp = qcnt.shape
+    gp2, nb = planes.shape
+    assert gp == gp2 and nb % BLKB == 0, (b, gp, gp2, nb)
+    gblk = min(gp, GBLK)
+    assert gp % gblk == 0 and gp % 128 == 0, (gp, gblk)
+    gtiles = gp // gblk
+    ntiles = nb // BLKB
+    if int8_dots:
+        qcnt = qcnt.astype(jnp.int8)
+    grid = (ntiles,) if gtiles == 1 else (ntiles, gtiles)
+    ix = (lambda j: (0, 0)) if gtiles == 1 else (lambda j, gi: (0, gi))
+    bx = (lambda j: (0, j)) if gtiles == 1 else (lambda j, gi: (gi, j))
+    ox = (lambda j: (0, j)) if gtiles == 1 else (lambda j, gi: (0, j))
+    hits, bmax = pl.pallas_call(
+        _make_kernel_bmax(int8_dots, gtiles, b),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, gblk), ix),
+            pl.BlockSpec((gblk, BLKB), bx),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, TILE_LANES), ox),
+            pl.BlockSpec((b, _BMAX_BLK), ox),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, ntiles * TILE_LANES), jnp.int8),
+            jax.ShapeDtypeStruct((b, ntiles * _BMAX_BLK), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * len(grid),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * gp * ntiles * TILE_LANES,
+            bytes_accessed=(
+                2 * b * gp + gp * nb
+                + b * ntiles * (TILE_LANES + _BMAX_BLK)
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qcnt, planes)
+    # lanes [SUBS, 128) of each tile's bmax block are -1 filler; the real
+    # maxima sit in lanes [0, SUBS) in tile order
+    bm = bmax.reshape(b, ntiles, _BMAX_BLK)[:, :, :_SUBS]
+    return hits, bm.reshape(b, ntiles * _SUBS)
+
+
 def bitmap_hits_ref(qcnt, planes):
     """Pure-XLA reference for tests: unpack the whole table and matmul."""
     gp, nb = planes.shape

@@ -544,7 +544,7 @@ def block_hmax(hits, nblk, blk):
 def _blockmax_finish(
     di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
     promo_terms, promo_weights, limits, threshold, *, compute_short,
-    n_cand, n_edge, top_k, with_bound,
+    n_cand, n_edge, top_k, with_bound, hmax=None,
 ):
     """Back half for HUGE dense hit matrices: never materializes a
     (B, Tl) f32 bound vector (at 10M terms that alone is ~40 B/query/term
@@ -569,7 +569,8 @@ def _blockmax_finish(
     wmax_long = di.term_wmax[ts:]
     wpad = jnp.pad(wmax_long, (0, tlp - tl)) if tlp > tl else wmax_long
     h3 = hits.reshape(b, nblk, _BLK)
-    hmax = block_hmax(hits, nblk, _BLK)  # (b, nblk) int8: no f32 full pass
+    if hmax is None:  # not already fused into the hits kernel's epilogue
+        hmax = block_hmax(hits, nblk, _BLK)  # (b, nblk) int8
     smax = hmax.astype(jnp.float32) / nqg3[:, :, 0]
     wblk = jnp.max(wpad.reshape(nblk, _BLK), axis=1)  # (nblk,)
     nonempty = (hmax > 0) & (n_qgrams[:, None] > 0) & (smax >= threshold)
@@ -751,6 +752,7 @@ def candidates_bitmap_mxu_impl(
     block_sel: bool = False,
     with_bound: bool = False,
     interpret: bool = False,
+    fused_bmax: bool = True,
 ):
     """EXACT hit counts via the Pallas unpack-matmul kernel
     (ops.bitmap_matmul): the packed incidence streams through VMEM once
@@ -772,15 +774,28 @@ def candidates_bitmap_mxu_impl(
     )(qslots)
     # int8 MXU dots: v5e does 2x the int8 MACs of bf16 (measured 93 vs
     # 29 GB/s of packed table at B=256); si8 x si8 -> si32 is exact
-    hits = bitmap_hits(qcnt, bitmap, interpret=interpret, int8_dots=True)
     if block_sel:
+        if fused_bmax:
+            # blockmax computed in the kernel's VMEM epilogue: skips the
+            # separate full (B, Tl) HBM re-read block_hmax would pay
+            from ..ops.bitmap_matmul import bitmap_hits_bmax
+
+            hits, hmax = bitmap_hits_bmax(
+                qcnt, bitmap, interpret=interpret, int8_dots=True
+            )
+        else:
+            hits = bitmap_hits(
+                qcnt, bitmap, interpret=interpret, int8_dots=True
+            )
+            hmax = None
         return _blockmax_finish(
             di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short,
             promo_ids, promo_terms, promo_weights, limits, threshold,
             compute_short=compute_short,
             n_cand=n_cand, n_edge=n_edge,
-            top_k=top_k, with_bound=with_bound,
+            top_k=top_k, with_bound=with_bound, hmax=hmax,
         )
+    hits = bitmap_hits(qcnt, bitmap, interpret=interpret, int8_dots=True)
     return _dense_hits_finish(
         di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
         promo_terms, promo_weights, limits, threshold,
@@ -794,7 +809,7 @@ candidates_bitmap_mxu = functools.partial(
     jax.jit,
     static_argnames=(
         "compute_short", "n_cand", "n_edge", "top_k",
-        "block_sel", "with_bound", "interpret",
+        "block_sel", "with_bound", "interpret", "fused_bmax",
     ),
 )(candidates_bitmap_mxu_impl)
 

@@ -66,6 +66,34 @@ def test_bitmap_kernel_matches_ref(host_engine):
     np.testing.assert_array_equal(got8, want)
 
 
+def test_bitmap_kernel_fused_blockmax(host_engine):
+    """bitmap_hits_bmax (interpret) returns the same hits as bitmap_hits
+    plus per-128-lane maxima matching the XLA block_hmax pass."""
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.ops.bitmap_matmul import (
+        bitmap_hits, bitmap_hits_bmax,
+    )
+    from stringsearchlib_tpu.search.candidates import _BLK, block_hmax
+
+    host, _ = host_engine
+    bm, _ = host.bitmap_tables()
+    gp = bm.shape[0]
+    rng = np.random.default_rng(11)
+    qcnt = rng.integers(0, 3, size=(16, gp)).astype(np.float32)
+    qcnt[:, host.n_grams:] = 0
+    q = jnp.asarray(qcnt, dtype=jnp.bfloat16)
+    for int8_dots in (False, True):
+        hits, bmax = bitmap_hits_bmax(
+            q, bm, interpret=True, int8_dots=int8_dots
+        )
+        want_h = np.asarray(bitmap_hits(q, bm, interpret=True))
+        np.testing.assert_array_equal(np.asarray(hits), want_h)
+        nblk = want_h.shape[1] // _BLK
+        want_b = np.asarray(block_hmax(jnp.asarray(want_h), nblk, _BLK))
+        np.testing.assert_array_equal(np.asarray(bmax), want_b)
+
+
 @pytest.mark.parametrize("block_sel", [False, True])
 def test_bitmap_mxu_front_end_parity(host_engine, block_sel):
     """candidates_bitmap_mxu (kernel, interpret) == candidates_bitmap

@@ -195,6 +195,14 @@ def main():
     dt = tm(lambda q: kern(q, planes), [(q,) for q in qcnts], n=4)
     log(f"kernel (B={B}): {dt * 1e3:.1f} ms")
 
+    from stringsearchlib_tpu.ops.bitmap_matmul import bitmap_hits_bmax
+
+    kern_f = functools.partial(
+        bitmap_hits_bmax, int8_dots=True, interpret=interp
+    )
+    dt = tm(lambda q: kern_f(q, planes), [(q,) for q in qcnts], n=4)
+    log(f"kernel+fused bmax (B={B}): {dt * 1e3:.1f} ms")
+
     hits0 = jax.device_put(kern(qcnts[0], planes))
     nblk = tlp // _BLK
     ts = di.n_short
