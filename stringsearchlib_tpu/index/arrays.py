@@ -23,11 +23,13 @@ class DeviceIndex:
     """Pytree of device arrays for one index instance."""
 
     # -- short tier (terms with normalized length < 2*gram_size) ----------
-    short_tokens: jnp.ndarray  # (Ts, short_pad) int32 codepoints, 0-padded
+    short_tokens: jnp.ndarray  # (Ts, short_pad) uint8 (narrow) / int32
+    # (wide) codepoints, 0-padded
     short_lengths: jnp.ndarray  # (Ts,) int32
 
     # -- long tier ----------------------------------------------------------
-    long_tokens: jnp.ndarray  # (Tl, long_pad) int32, 0-padded
+    long_tokens: jnp.ndarray  # (Tl, long_pad) uint8 / int32, 0-padded,
+    # rows length-ASCENDING (build sorts the tier for the width-bucketed DP)
     long_lengths: jnp.ndarray  # (Tl,) int32
 
     # -- gram postings (CSR over dense gram slots; slots sorted by gram id) --

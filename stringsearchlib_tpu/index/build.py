@@ -631,11 +631,17 @@ def _key_edge_csr(
 
 
 def _upload_tokens(mat: np.ndarray) -> jnp.ndarray:
-    """Device int32 token matrix from host uint8/uint32 rows.
+    """Device token matrix from host uint8/uint32 rows.
 
-    The transfer ships the narrow dtype (4x fewer bytes for byte strings -
-    host->device bandwidth dominates index build on remote/tunneled
-    backends) and widens to int32 on device."""
+    Byte strings stay uint8 ON DEVICE too: every consumer either compares
+    elementwise (the DP's token == qc fuses the widening into the compare)
+    or casts at use (gram packing), so the resident matrix and every DP
+    pass read 4x fewer HBM bytes - at 10M keys the int32 long-token matrix
+    alone was 1.3 GB of a 16 GB chip.  Wide (uint32) tokens widen to int32
+    (codepoints exceed a byte; int32 keeps compares signed-safe)."""
+    mat = np.asarray(mat)
+    if mat.dtype == np.uint8:
+        return jnp.asarray(mat)
     return jnp.asarray(mat).astype(jnp.int32)
 
 
@@ -673,10 +679,12 @@ def _converters(to_device: bool):
     only shard-local pieces (never the unsharded index)."""
     if to_device:
         return _upload_array, _upload_tokens
-    return (
-        lambda a: np.asarray(a),
-        lambda m: np.asarray(m).astype(np.int32),
-    )
+
+    def _host_tokens(m):
+        m = np.asarray(m)
+        return m if m.dtype == np.uint8 else m.astype(np.int32)
+
+    return (lambda a: np.asarray(a), _host_tokens)
 
 
 def _pad_width(mat: np.ndarray, min_width: int, multiple: int = 8) -> np.ndarray:

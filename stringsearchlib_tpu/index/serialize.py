@@ -102,10 +102,16 @@ def load_index(path: Union[str, os.PathLike, io.IOBase]) -> HostIndex:
         valid_chars = z["valid_chars"].tobytes()
         tables = textlib.TextTables(valid_chars, wide=cfg.wide)
 
+        def _tok(arr):
+            # byte tokens stay uint8 on device (see build._upload_tokens);
+            # wide/legacy widths widen to int32
+            a = jnp.asarray(arr)
+            return a if arr.dtype == np.uint8 else a.astype(jnp.int32)
+
         dev = DeviceIndex(
             **{
                 f: (
-                    jnp.asarray(z["dev_" + f]).astype(jnp.int32)
+                    _tok(z["dev_" + f])
                     if f in _TOKEN_FIELDS
                     else jnp.asarray(z["dev_" + f])
                 )
