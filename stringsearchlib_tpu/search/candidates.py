@@ -78,7 +78,11 @@ def topk_chunked(u, k, chunk: int = _TOPK_CHUNK):
         return jax.lax.top_k(u, k)
     nc = -(-n // chunk)
     pad = [(0, 0)] * (u.ndim - 1) + [(0, nc * chunk - n)]
-    up = jnp.pad(u, pad, constant_values=_NEG_INF)
+    if jnp.issubdtype(u.dtype, jnp.floating):
+        neg = _NEG_INF
+    else:
+        neg = np.iinfo(np.dtype(u.dtype)).min
+    up = jnp.pad(u, pad, constant_values=neg)
     uc = up.reshape(*u.shape[:-1], nc, chunk)
     vals, idx = jax.lax.top_k(uc, k)
     gidx = idx + (jnp.arange(nc, dtype=idx.dtype) * chunk)[:, None]

@@ -115,6 +115,22 @@ def rescore_ltopk(hb, bsel, nqg, wpad_dev, nblk, blk, n_cand):
     return topk_chunked(u2, n_cand)
 
 
+def ltopk_int8(hb, bsel, nqg, n_cand):
+    """Uniform-weight selection probe: top-k directly on int8 hits (u
+    order == hits order when every weight is 1.0).  If this beats the
+    f32 path, the engine grows a uniform-weights fast lane."""
+    from stringsearchlib_tpu.search.candidates import topk_chunked
+
+    b = hb.shape[0]
+    thr = jnp.ceil(
+        THRESHOLD * jnp.maximum(nqg.astype(jnp.float32), 1.0)
+    ).astype(jnp.int8)[:, None, None]
+    masked = jnp.where(hb >= thr, hb, jnp.int8(-1))
+    return topk_chunked(
+        masked.reshape(b, hb.shape[1] * hb.shape[2]), n_cand
+    )
+
+
 def main():
     import random
 
@@ -242,6 +258,10 @@ def main():
                                        n_cand),
         [(hb, s, g) for hb, s, g in zip(hbs, bsels, nqgs)], n=4)
     log(f"rescore+ltopk ({B},{kb * _BLK})->{n_cand}: {dt * 1e3:.1f} ms")
+    dt = tm(
+        lambda hb, s, g: ltopk_int8(hb, s, g, n_cand),
+        [(hb, s, g) for hb, s, g in zip(hbs, bsels, nqgs)], n=4)
+    log(f"int8 ltopk ({B},{kb * _BLK})->{n_cand}: {dt * 1e3:.1f} ms")
     del hbs, bmaxes, hits0
 
     cs = bool(np.any(jax.device_get(chunks[0][4])))
