@@ -44,9 +44,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.build import HostIndex
-from ..search.candidates import (
-    _expand_promo_csr, candidates_matmul_impl, candidates_runs_impl,
-)
+from ..search.candidates import candidates_matmul_impl, candidates_runs_impl
 from ..search.engine import (
     SearchEngine,
     _finalize,
@@ -406,8 +404,8 @@ def _merge_shard_topk(cnt_s, keys_s, scores_s, lens_s, bound_s, k_total,
 
 def sharded_candidates_step(
     leaves: dict,
-    qtokens, qlens, qslots, n_qgrams, use_short, promo_ids, limits,
-    threshold,
+    qtokens, qlens, qslots, n_qgrams, use_short, promo_ids, promo_terms,
+    promo_weights, limits, threshold,
     *,
     mesh: Mesh,
     front: str,  # "matmul" | "runs"
@@ -415,7 +413,6 @@ def sharded_candidates_step(
     s_cap: int,
     n_cand: int,
     n_edge: int,
-    promo_edges: int,
     top_k: int,
     block_sel: bool,
     limit: int,
@@ -425,21 +422,22 @@ def sharded_candidates_step(
     Each shard runs the exact candidate kernel on its chunk (local top-k +
     soundness bound); results all_gather (S * B * top_k triples) and merge
     replicated.  Rows whose merged guard fails are retried densely by the
-    host (ShardedEngine), mirroring the single-chip escalation ladder."""
+    host (ShardedEngine), mirroring the single-chip escalation ladder.
+
+    ``promo_terms``/``promo_weights`` (S, B, PK, PE) are HOST-expanded
+    per-shard promotion edge packs in shard-LOCAL term ids (-1-padded;
+    ShardedEngine._promo_tables_sharded) - shipping them avoids the
+    2 x PK x PE random device gathers per (query, shard) the CSR
+    expansion paid."""
     in_specs = (
         {n: (P(AXIS) if n in _STACKED else P()) for n in leaves},
-        P(), P(), P(), P(), P(), P(), P(), P(),
+        P(), P(), P(), P(), P(), P(), P(AXIS), P(AXIS), P(), P(),
     )
 
-    def shard_fn(lv, qt, ql, qs, ng, us, pr, lim, thr):
+    def shard_fn(lv, qt, ql, qs, ng, us, pr, p_t, p_w, lim, thr):
         di = _ShardView(lv, strip=True)
         pt, xt = lv["pt"][0], lv["xt"][0]
-        # promo edge lists are SHARD-LOCAL (each shard's key->edge CSR
-        # holds only its terms' edges), so the pack expands on device here;
-        # the single-chip engine ships host-expanded packs instead.
-        _, p_t, p_w = jax.vmap(
-            lambda row: _expand_promo_csr(di, row, promo_edges)
-        )(pr)
+        p_t, p_w = p_t[0], p_w[0]
         if front == "matmul":
             cnt, keys, scores, lens, bound = candidates_matmul_impl(
                 di, lv["gm"][0], pt, xt, qt, ql, qs, ng, us, pr, p_t, p_w,
@@ -464,7 +462,7 @@ def sharded_candidates_step(
         out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         check_vma=False,
     )(leaves, qtokens, qlens, qslots, n_qgrams, use_short, promo_ids,
-      limits, threshold)
+      promo_terms, promo_weights, limits, threshold)
 
     k_total = leaves["key_len"].shape[0]
     return _merge_shard_topk(
@@ -725,6 +723,35 @@ class ShardedEngine(SearchEngine):
         s_cap = _next_pow2(max(s_total, 1), 1024)
         return b, qtok, qlens, slots, nqg, use_short, s_cap
 
+    def _promo_tables_sharded(self, promo_all: np.ndarray):
+        """(S, B, PK, PE) promo edge term/weight packs from the host
+        per-shard key->edge CSRs (shard-LOCAL term ids, -1 padded) -
+        the sharded analogue of SearchEngine._promo_tables."""
+        kep = self.sx.leaves["key_edge_ptr"]  # (S, K+1)
+        ket = self.sx.leaves["key_edge_term"]  # (S, kemax)
+        kew = self.sx.leaves["key_edge_weight"]
+        s = kep.shape[0]
+        b, pk = promo_all.shape
+        valid = promo_all >= 0
+        p_c = np.clip(promo_all, 0, max(kep.shape[1] - 2, 0))
+        # (S, B, PK) per-shard edge counts of each promo key
+        cnt = np.where(
+            valid[None], kep[:, p_c + 1] - kep[:, p_c], 0
+        ).astype(np.int64)
+        pe = _next_pow2(max(int(cnt.max()) if cnt.size else 0, 1), 1)
+        terms = np.full((s, b, pk, pe), -1, np.int32)
+        weights = np.zeros((s, b, pk, pe), np.float32)
+        si, bi, ki = np.nonzero(cnt > 0)
+        if si.size:
+            c = cnt[si, bi, ki]
+            rep = np.repeat
+            within = np.arange(c.sum()) - rep(np.cumsum(c) - c, c)
+            src = rep(kep[si, p_c[bi, ki]], c) + within
+            rs, rb, rk = rep(si, c), rep(bi, c), rep(ki, c)
+            terms[rs, rb, rk, within] = ket[rs, src]
+            weights[rs, rb, rk, within] = kew[rs, src]
+        return terms, weights
+
     # -- public API --------------------------------------------------------
 
     def search(self, query, threshold: float = 0.0, limit: int = 0):
@@ -856,6 +883,7 @@ class ShardedEngine(SearchEngine):
         for r, item in enumerate(items):
             pids = item[3]
             promo_all[r, : pids.size] = pids
+        promo_t, promo_w = self._promo_tables_sharded(promo_all)
 
         gm = self._gram_matrix_stacked()
         front = "matmul" if gm is not None else "runs"
@@ -888,7 +916,6 @@ class ShardedEngine(SearchEngine):
                     s_cap=s_cap,
                     n_cand=n_cand,
                     n_edge=n_edge,
-                    promo_edges=self.PROMO_EDGES,
                     top_k=top_k,
                     block_sel=block_sel,
                     limit=min(limit, 2**30),
@@ -908,6 +935,8 @@ class ShardedEngine(SearchEngine):
                 self._rep(qtok[sl]), self._rep(qlens[sl]),
                 self._rep(slots[sl]), self._rep(nqg[sl]),
                 self._rep(use_short[sl]), self._rep(promo_all[sl]),
+                self._place(promo_t[:, sl], P(AXIS)),
+                self._place(promo_w[:, sl], P(AXIS)),
                 self._rep(lim_arr), np.float32(threshold),
             )
             pending.append((lo, hi, res))

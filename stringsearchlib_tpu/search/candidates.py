@@ -146,31 +146,6 @@ def _select_candidates(u_all, n_pass, *, n_cand, block_sel):
     return ub, sel, u_c, blocks_cov & sel_cov
 
 
-def _expand_promo_csr(di, promo, promo_edges):
-    """Per-query promotion pack from the device key->edge CSR.
-
-    Used by the sharded path (parallel.dist), whose promo edge lists are
-    shard-local and only known on device.  The single-chip engine ships
-    host-expanded packs instead (SearchEngine._promo_tables): this CSR
-    expansion costs 2 x PK x promo_edges random gathers per query
-    (~90 ns/element on v5e - ~45 ms per 256-query chunk at 10M keys for
-    edge lists that are typically 1-2 entries long)."""
-    k_total = di.key_len.shape[0]
-    e_total = max(di.key_edge_term.shape[0], 1)
-    kep = di.key_edge_ptr
-    p_c = jnp.clip(promo, 0, k_total - 1)
-    p_valid = promo >= 0
-    pe_pos = jnp.arange(promo_edges, dtype=jnp.int32)
-    p_base = kep[p_c][:, None] + pe_pos[None, :]
-    p_in = (
-        pe_pos[None, :] < (kep[p_c + 1] - kep[p_c])[:, None]
-    ) & p_valid[:, None]
-    p_bc = jnp.clip(p_base, 0, e_total - 1)
-    p_t = jnp.where(p_in, di.key_edge_term[p_bc], -1)
-    p_w = di.key_edge_weight[p_bc]
-    return promo, p_t, p_w
-
-
 def _finish_candidates(
     di, pt, xt, u_all, s_all, gid_all, n_pass, term_score, promo_pack,
     limit, threshold, *, n_cand, n_edge, top_k, block_sel=False,
@@ -211,10 +186,12 @@ def _finish_selected(
 
     ``promo_pack = (promo, p_t, p_w)``: promotion key ids (PK,) plus their
     pre-expanded edge term ids/weights (PK, PE) (-1-padded terms mark
-    absent edges).  Single-chip callers expand these HOST-side from the
-    key->edge CSR (the lists are typically 1-2 entries; the on-device
-    expansion cost 2 x PK x 128 random gathers per query); the sharded
-    path expands shard-locally via _expand_promo_csr.
+    absent edges).  Every caller expands these HOST-side from its
+    key->edge CSR copy (SearchEngine._promo_tables; the sharded engine's
+    _promo_tables_sharded ships shard-local ids) - the lists are
+    typically 1-2 entries, and the on-device CSR expansion cost
+    2 x PK x 128 random gathers per query (~45 ms per 256-query chunk
+    at 10M keys).
 
     Edge handling uses the primary-edge decomposition: each candidate's
     first edge is ONE 4-wide record gather from ``pt`` ([key, weight bits,

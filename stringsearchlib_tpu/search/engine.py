@@ -711,6 +711,10 @@ class SearchEngine:
     # path when each query's bucketed posting mass fits RUNS_TINY_LANES
     RUNS_TINY_BATCH = 8
     RUNS_TINY_LANES = 1 << 22
+    # use the bitmap kernel's fused blockmax epilogue (ops.bitmap_matmul.
+    # bitmap_hits_bmax).  Off until Mosaic-compiled on real hardware: an
+    # interpret-validated kernel can still fail the vector layout pass.
+    BITMAP_FUSED_BMAX = False
     SK_KSB = 256  # superblocks kept per query (first pass)
     SK_KB = 512  # blocks kept per query (first pass)
 
@@ -890,6 +894,12 @@ class SearchEngine:
                 )
             elif bm is not None:
                 fe = candidates_bitmap_mxu if bm_kernel else candidates_bitmap
+                kw = {}
+                if bm_kernel:
+                    # fused VMEM blockmax epilogue: interpret-validated;
+                    # flip the class default once Mosaic-compiled on
+                    # hardware (tools/probe_10m_stages.py A/Bs it)
+                    kw["fused_bmax"] = self.BITMAP_FUSED_BMAX
                 res = fe(
                     di,
                     bm[0],
@@ -910,6 +920,7 @@ class SearchEngine:
                     n_edge=n_edge,
                     top_k=top_k,
                     block_sel=block_sel,
+                    **kw,
                 )
             elif sk is not None:
                 inc, tg, wmax_pad, d_log2 = sk
