@@ -431,8 +431,10 @@ class SearchEngine:
         """Batched search: one device dispatch for the whole batch.
 
         Returns a list of (strings, scores) aligned with ``queries``.
-        Wildcards, brute-force-short queries (qlen <= gram_size) and
-        queries longer than ``qp_bucket`` fall back to the single path.
+        Wildcards take the dedicated edge-weight path; brute-force-short
+        queries (qlen <= gram_size) batch through the whole-tier DP; and
+        queries longer than ``qp_bucket`` batch in their own pow2-width
+        groups.
 
         ``mode``: "auto" picks the candidate-sparse path for bounded limits
         on large indexes (exact results; rows whose exactness guard fails
@@ -490,14 +492,11 @@ class SearchEngine:
             if len(raw) == 0 or raw == "*":
                 out[i] = self._search_impl(raw, threshold, limit)
         for j, i in enumerate(nz):
-            raw = raws[i]
             qnorm, qlen = norm_tok[j], int(norm_len[j])
             if qlen == 0:
                 out[i] = ([], [])
             elif qlen <= self.cfg.brute_force_cutoff:
                 brute_items.append((i, qnorm, qlen))
-            elif qlen > qp_bucket:
-                out[i] = self._search_impl(raw, threshold, limit)
             else:
                 promo = None
                 if want_cand:
@@ -512,18 +511,30 @@ class SearchEngine:
         if not items and not brute_items:
             return out
 
-        cand_items = [it for it in items if want_cand and it[3] is not None]
-        dense_items = [it for it in items if not (want_cand and it[3] is not None)]
-
-        if cand_items:
-            retry = self._run_candidate_chunks(
-                cand_items, threshold, limit, batch_bucket, qp_bucket, out
+        # queries longer than qp_bucket batch in their own pow2-width
+        # groups (round 1 dispatched each one singly - a batch of 64-char
+        # queries paid one full dispatch apiece)
+        groups: dict = {}
+        for it in items:
+            qp_i = qp_bucket if it[2] <= qp_bucket else _next_pow2(
+                it[2], qp_bucket
             )
-            dense_items.extend(retry)
-        if dense_items:
-            self._run_dense_chunks(
-                dense_items, threshold, limit, batch_bucket, qp_bucket, out
-            )
+            groups.setdefault(qp_i, []).append(it)
+        for qp_i in sorted(groups):
+            grp = groups[qp_i]
+            cand_items = [it for it in grp if want_cand and it[3] is not None]
+            dense_items = [
+                it for it in grp if not (want_cand and it[3] is not None)
+            ]
+            if cand_items:
+                retry = self._run_candidate_chunks(
+                    cand_items, threshold, limit, batch_bucket, qp_i, out
+                )
+                dense_items.extend(retry)
+            if dense_items:
+                self._run_dense_chunks(
+                    dense_items, threshold, limit, batch_bucket, qp_i, out
+                )
         if brute_items:
             self._run_brute_chunks(brute_items, threshold, limit, out)
         return out

@@ -31,6 +31,25 @@ def test_batch_matches_single():
                 np.testing.assert_allclose(got[1], want[1], atol=1e-6)
 
 
+def test_long_queries_batch_in_groups():
+    """Queries past qp_bucket batch in pow2-width groups (round 1 paid
+    one dispatch per long query) and match the single path exactly."""
+    host = build_index(WORDS, 1, None, IndexConfig())
+    engine = SearchEngine(host)
+    long_qs = [
+        "GHRSDGSDGS EGDSRTG G PHOTOGRAPH TELESCOPE",
+        "telephone telegraph photograph " * 2,
+        "x" * 45,
+        "WIDGET ALPHA ACME SENSOR 42 MICROPHONE EXTRA",
+        "tele",  # short one mixed in
+    ]
+    got = engine.search_batch(long_qs, 0.2, 10, qp_bucket=16)
+    for q, g in zip(long_qs, got):
+        want = engine.search(q, 0.2, 10)
+        assert g[0] == want[0], q
+        np.testing.assert_allclose(g[1], want[1], atol=1e-6)
+
+
 def test_batch_bucketing():
     host = build_index(WORDS, 1, None, IndexConfig())
     engine = SearchEngine(host)
