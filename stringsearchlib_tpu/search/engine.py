@@ -826,8 +826,9 @@ class SearchEngine:
                 and fits_vmem(16, int(bm[0].shape[0]))
             )
             if bm_kernel:
+                # fused epilogue skips the separate (B, Tl) blockmax temp
                 per_q = (
-                    2 * tlp
+                    (tlp if self.BITMAP_FUSED_BMAX else 2 * tlp)
                     + 16 * cand_cap * _BLK
                     + 24 * n_edge
                     + (48 * ts if compute_short else 0)
