@@ -113,11 +113,20 @@ def _shard_ranges(sorted_shard: np.ndarray, s: int) -> np.ndarray:
 
 
 def shard_index(host: HostIndex, n_shards: int) -> ShardedIndex:
-    """Partition a built index into n_shards contiguous term chunks.
+    """Partition a built index into n_shards STRIDED term chunks
+    (term t -> shard t % S, local id t // S).
+
+    Strided, not contiguous: the long tier is stored length-ASCENDING
+    (index.build sorts it for the width-bucketed DP), so contiguous
+    chunks would concentrate the longest terms - and their posting mass,
+    which grows with length - on the last shard (up to several x skew on
+    wide length ranges).  A strided subsequence of a sorted array is
+    still sorted, so every shard gets a balanced, length-ascending local
+    tier.
 
     Fully vectorized: one stable shard-sort over the postings and one over
-    the edges (plus per-shard contiguous-slice passes), O(P log P + E log E)
-    total - no per-shard rescan of the full posting array.
+    the edges, O(P log P + E log E) total - no per-shard rescan of the
+    full posting array.
     """
     di = host.device
     s = n_shards
@@ -142,22 +151,29 @@ def shard_index(host: HostIndex, n_shards: int) -> ShardedIndex:
         raise ValueError("cannot shard an empty index")
     tc = ts_c + tl_c
 
+    def _stride_stack(arr, chunk):
+        # rows (N, ...) -> (S, chunk, ...); shard i holds rows i::S
+        pad = _pad_rows(arr, s * chunk)
+        return np.swapaxes(
+            pad.reshape(chunk, s, *pad.shape[1:]), 0, 1
+        ).copy()
+
     leaves: dict = {}
-    leaves["short_tokens"] = _pad_rows(st_g, s * ts_c).reshape(
-        s, ts_c, st_g.shape[1] if st_g.ndim > 1 else 0
+    leaves["short_tokens"] = _stride_stack(
+        st_g.reshape(st_g.shape[0], -1), ts_c
     )
-    leaves["short_lengths"] = _pad_rows(sl_g, s * ts_c).reshape(s, ts_c)
-    leaves["long_tokens"] = _pad_rows(lt_g, s * tl_c).reshape(
-        s, tl_c, lt_g.shape[1] if lt_g.ndim > 1 else 0
+    leaves["short_lengths"] = _stride_stack(sl_g, ts_c)
+    leaves["long_tokens"] = _stride_stack(
+        lt_g.reshape(lt_g.shape[0], -1), tl_c
     )
-    leaves["long_lengths"] = _pad_rows(ll_g, s * tl_c).reshape(s, tl_c)
+    leaves["long_lengths"] = _stride_stack(ll_g, tl_c)
 
     # -- postings: one stable shard-sort, contiguous per-shard slices -------
     p_tot = terms.shape[0]
     if p_tot and tl_c:
         lens_all = np.diff(ptr)
         gram_of = np.repeat(np.arange(g, dtype=np.int64), lens_all)
-        shard_of = terms // tl_c
+        shard_of = terms % s
         counts2d = np.bincount(
             shard_of * g + gram_of, minlength=s * g
         ).reshape(s, g)
@@ -168,7 +184,7 @@ def shard_index(host: HostIndex, n_shards: int) -> ShardedIndex:
         pmax_len = max(int((bounds[1:] - bounds[:-1]).max()), 1)
         gram_terms_s = np.zeros((s, pmax_len), np.int32)
         gram_terms_s[sorted_shard, pos_in_shard] = (
-            terms[order] - sorted_shard * tl_c
+            terms[order] // s
         ).astype(np.int32)
         gram_ptr_s = np.zeros((s, g + 1), np.int32)
         np.cumsum(counts2d, axis=1, out=gram_ptr_s[:, 1:])
@@ -182,13 +198,9 @@ def shard_index(host: HostIndex, n_shards: int) -> ShardedIndex:
     # -- edges: shard by term ownership, local term ids (shorts then longs) -
     e_tot = et.shape[0]
     is_short = et < ts
-    shard_e = np.where(
-        is_short,
-        et // max(ts_c, 1),
-        (et - ts) // max(tl_c, 1),
-    ).astype(np.int64)
+    shard_e = np.where(is_short, et % s, (et - ts) % s).astype(np.int64)
     local_t = np.where(
-        is_short, et - shard_e * ts_c, ts_c + (et - ts - shard_e * tl_c)
+        is_short, et // s, ts_c + (et - ts) // s
     ).astype(np.int64)
 
     # term-sorted within shard (global edges are (term, key)-sorted and a

@@ -87,6 +87,28 @@ def test_tiered_brute_parity():
         np.testing.assert_allclose(g[1], w[1], atol=1e-6)
 
 
+def test_strided_sharding_balances_sorted_tier():
+    """The length-sorted long tier must not skew posting mass onto the
+    last shard: strided assignment keeps shards balanced AND each
+    shard's local tier length-ascending."""
+    from stringsearchlib_tpu.parallel.dist import shard_index
+
+    rng = np.random.default_rng(23)
+    host = build_index(
+        _skewed_words(rng, 600), 1, None, IndexConfig(), to_device=False
+    )
+    sx = shard_index(host, 4)
+    per_shard = sx.host_shard_posting_lens.sum(axis=1)
+    assert per_shard.sum() == int(np.asarray(host.device.gram_ptr)[-1])
+    # contiguous chunks over the sorted tier would put ALL the 150+ char
+    # terms (and their postings) on the last shard; strided stays tight
+    assert per_shard.max() <= 1.25 * max(per_shard.min(), 1), per_shard
+    ll = sx.leaves["long_lengths"]
+    for i in range(4):
+        row = ll[i][ll[i] > 0]
+        assert np.all(row[:-1] <= row[1:])
+
+
 def test_tiered_matches_longer_queries_too():
     """Sanity: the long-tier permutation is invisible to gram-path
     queries (term ids are internal)."""
