@@ -525,7 +525,7 @@ def block_hmax(hits, nblk, blk):
 def _blockmax_finish(
     di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
     promo_terms, promo_weights, limits, threshold, *, compute_short,
-    n_cand, n_edge, top_k, with_bound, hmax=None,
+    n_cand, n_edge, top_k, with_bound, hmax=None, blk=_BLK,
 ):
     """Back half for HUGE dense hit matrices: never materializes a
     (B, Tl) f32 bound vector (at 10M terms that alone is ~40 B/query/term
@@ -545,15 +545,15 @@ def _blockmax_finish(
     rescoring, never the scores or the guard's soundness."""
     ts, tl = di.n_short, di.n_long
     b, tlp = hits.shape
-    nblk = tlp // _BLK
+    nblk = tlp // blk
     nqg3 = jnp.maximum(n_qgrams.astype(jnp.float32), 1.0)[:, None, None]
     wmax_long = di.term_wmax[ts:]
     wpad = jnp.pad(wmax_long, (0, tlp - tl)) if tlp > tl else wmax_long
-    h3 = hits.reshape(b, nblk, _BLK)
+    h3 = hits.reshape(b, nblk, blk)
     if hmax is None:  # not already fused into the hits kernel's epilogue
-        hmax = block_hmax(hits, nblk, _BLK)  # (b, nblk) int8
+        hmax = block_hmax(hits, nblk, blk)  # (b, nblk) int8
     smax = hmax.astype(jnp.float32) / nqg3[:, :, 0]
-    wblk = jnp.max(wpad.reshape(nblk, _BLK), axis=1)  # (nblk,)
+    wblk = jnp.max(wpad.reshape(nblk, blk), axis=1)  # (nblk,)
     nonempty = (hmax > 0) & (n_qgrams[:, None] > 0) & (smax >= threshold)
     ub_blk = jnp.where(
         wblk[None, :] >= 0, wblk[None, :] * smax, wblk[None, :] * threshold
@@ -566,19 +566,19 @@ def _blockmax_finish(
     blocks_cov = nb_nonempty <= kb
     u_b = jnp.where(blocks_cov, _NEG_INF, bvals[:, -1])
     bsel_c = jnp.clip(bsel, 0, nblk - 1)
-    hb = jnp.take_along_axis(h3, bsel_c[:, :, None], axis=1)  # (b,kb,BLK)
-    wb = wpad.reshape(nblk, _BLK)[bsel_c]
+    hb = jnp.take_along_axis(h3, bsel_c[:, :, None], axis=1)  # (b,kb,blk)
+    wb = wpad.reshape(nblk, blk)[bsel_c]
     s2 = hb.astype(jnp.float32) / nqg3
     pass2 = (hb > 0) & (n_qgrams[:, None, None] > 0) & (s2 >= threshold)
     # mask lanes of invalid kept blocks (clamped pad indices read a real
     # block's lanes; selecting them would score a term under a wrong id)
     pass2 = pass2 & (bvals > _NEG_INF)[:, :, None]
-    u2 = jnp.where(pass2, wb * s2, _NEG_INF).reshape(b, kb * _BLK)
-    s2f = s2.reshape(b, kb * _BLK)
+    u2 = jnp.where(pass2, wb * s2, _NEG_INF).reshape(b, kb * blk)
+    s2f = s2.reshape(b, kb * blk)
     col2 = (
-        bsel_c[:, :, None] * _BLK
-        + jnp.arange(_BLK, dtype=jnp.int32)[None, None, :]
-    ).reshape(b, kb * _BLK)
+        bsel_c[:, :, None] * blk
+        + jnp.arange(blk, dtype=jnp.int32)[None, None, :]
+    ).reshape(b, kb * blk)
 
     def one(args):
         (qtok, qlen, hrow, u2r, s2r, col2r, u_br, bcov, promo, p_t, p_w,
@@ -734,6 +734,7 @@ def candidates_bitmap_mxu_impl(
     with_bound: bool = False,
     interpret: bool = False,
     fused_bmax: bool = True,
+    bmax_blk: int = _BLK,
 ):
     """EXACT hit counts via the Pallas unpack-matmul kernel
     (ops.bitmap_matmul): the packed incidence streams through VMEM once
@@ -758,23 +759,26 @@ def candidates_bitmap_mxu_impl(
     if block_sel:
         if fused_bmax:
             # blockmax computed in the kernel's VMEM epilogue: skips the
-            # separate full (B, Tl) HBM re-read block_hmax would pay
+            # separate full (B, Tl) HBM re-read block_hmax would pay.
+            # The epilogue reduces fixed 128-lane blocks (bmax_blk ignored).
             from ..ops.bitmap_matmul import bitmap_hits_bmax
 
             hits, hmax = bitmap_hits_bmax(
                 qcnt, bitmap, interpret=interpret, int8_dots=True
             )
+            blk = _BLK
         else:
             hits = bitmap_hits(
                 qcnt, bitmap, interpret=interpret, int8_dots=True
             )
             hmax = None
+            blk = bmax_blk
         return _blockmax_finish(
             di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short,
             promo_ids, promo_terms, promo_weights, limits, threshold,
             compute_short=compute_short,
             n_cand=n_cand, n_edge=n_edge,
-            top_k=top_k, with_bound=with_bound, hmax=hmax,
+            top_k=top_k, with_bound=with_bound, hmax=hmax, blk=blk,
         )
     hits = bitmap_hits(qcnt, bitmap, interpret=interpret, int8_dots=True)
     return _dense_hits_finish(
@@ -790,7 +794,7 @@ candidates_bitmap_mxu = functools.partial(
     jax.jit,
     static_argnames=(
         "compute_short", "n_cand", "n_edge", "top_k",
-        "block_sel", "with_bound", "interpret", "fused_bmax",
+        "block_sel", "with_bound", "interpret", "fused_bmax", "bmax_blk",
     ),
 )(candidates_bitmap_mxu_impl)
 

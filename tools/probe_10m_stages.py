@@ -262,6 +262,22 @@ def main():
         lambda hb, s, g: ltopk_int8(hb, s, g, n_cand),
         [(hb, s, g) for hb, s, g in zip(hbs, bsels, nqgs)], n=4)
     log(f"int8 ltopk ({B},{kb * _BLK})->{n_cand}: {dt * 1e3:.1f} ms")
+
+    # block-size sweep: gather volume is kept_lanes = kb_v * blk (held
+    # constant) but row size changes gather bandwidth, and btopk lane
+    # count = tlp/blk changes selection cost.  Picks the engine's _BLK.
+    for blk_v in (256, 512, 1024):
+        nblk_v = tlp // blk_v
+        kb_v = max(kb * _BLK // blk_v, 16)
+        bm_v = [jax.device_put(bmax_b(hits0, nblk_v, blk_v))
+                for _ in range(1)]
+        btopk_v = jax.jit(functools.partial(topk_chunked, k=kb_v))
+        dt_t = tm(lambda x: btopk_v(x), [(x,) for x in bm_v], n=3)
+        bsel_v = jax.device_put(btopk_v(bm_v[0])[1])
+        dt_g = tm(lambda h, s2: bgather(h, s2, nblk_v, blk_v),
+                  [(hits0, bsel_v)], n=3)
+        log(f"blk={blk_v}: btopk ({B},{nblk_v})->{kb_v} {dt_t*1e3:.1f} ms, "
+            f"bgather ({B},{kb_v},{blk_v}) {dt_g*1e3:.1f} ms")
     del hbs, bmaxes, hits0
 
     cs = bool(np.any(jax.device_get(chunks[0][4])))
