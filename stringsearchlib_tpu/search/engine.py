@@ -726,6 +726,10 @@ class SearchEngine:
     # bitmap_hits_bmax).  Off until Mosaic-compiled on real hardware: an
     # interpret-validated kernel can still fail the vector layout pass.
     BITMAP_FUSED_BMAX = False
+    # blockmax block width for the XLA (non-fused) bitmap finish; the
+    # stage probe sweeps 128-1024 (wider rows gather faster, coarser
+    # bounds select more lanes) - flip after hardware measurement
+    BITMAP_BMAX_BLK = 128
     SK_KSB = 256  # superblocks kept per query (first pass)
     SK_KB = 512  # blocks kept per query (first pass)
 
@@ -912,6 +916,7 @@ class SearchEngine:
                     # flip the class default once Mosaic-compiled on
                     # hardware (tools/probe_10m_stages.py A/Bs it)
                     kw["fused_bmax"] = self.BITMAP_FUSED_BMAX
+                    kw["bmax_blk"] = self.BITMAP_BMAX_BLK
                 res = fe(
                     di,
                     bm[0],
