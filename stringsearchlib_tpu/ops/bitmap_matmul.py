@@ -116,17 +116,10 @@ def _make_kernel(int8_dots: bool, gtiles: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "int8_dots"))
-def bitmap_hits(qcnt, planes, *, interpret: bool | None = None,
-                int8_dots: bool = False):
-    """qcnt (B, Gp) bf16 gram multiplicities  x  planes (Gp, NB) int8
-    packed incidence  ->  hits (B, NB * 8) int8, term-ordered columns.
-
-    Gp must equal g_padding(G) (HostIndex builds it so); tables wider
-    than GBLK rows stream in G blocks with int8 accumulation into the
-    revisited output block - gram-RICH corpora (50k+ grams) get the MXU
-    path instead of the XLA per-slot scan.
-    """
+def _dispatch(qcnt, planes, *, interpret, int8_dots, with_bmax):
+    """Shared pallas_call scaffolding for both kernel variants (grid,
+    index maps, specs, cost model differ only in the optional bmax
+    output)."""
     if interpret is None:
         interpret = INTERPRET
     b, gp = qcnt.shape
@@ -142,25 +135,58 @@ def bitmap_hits(qcnt, planes, *, interpret: bool | None = None,
     ix = (lambda j: (0, 0)) if gtiles == 1 else (lambda j, gi: (0, gi))
     bx = (lambda j: (0, j)) if gtiles == 1 else (lambda j, gi: (gi, j))
     ox = (lambda j: (0, j)) if gtiles == 1 else (lambda j, gi: (0, j))
+    out_specs = pl.BlockSpec((b, TILE_LANES), ox)
+    out_shape = jax.ShapeDtypeStruct((b, ntiles * TILE_LANES), jnp.int8)
+    extra_bytes = 0
+    if with_bmax:
+        kernel = _make_kernel_bmax(int8_dots, gtiles, b)
+        out_specs = [out_specs, pl.BlockSpec((b, _BMAX_BLK), ox)]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((b, ntiles * _BMAX_BLK), jnp.int8),
+        ]
+        extra_bytes = b * ntiles * _BMAX_BLK
+    else:
+        kernel = _make_kernel(int8_dots, gtiles)
     return pl.pallas_call(
-        _make_kernel(int8_dots, gtiles),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, gblk), ix),
             pl.BlockSpec((gblk, BLKB), bx),
         ],
-        out_specs=pl.BlockSpec((b, TILE_LANES), ox),
-        out_shape=jax.ShapeDtypeStruct((b, ntiles * TILE_LANES), jnp.int8),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * len(grid),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * gp * ntiles * TILE_LANES,
-            bytes_accessed=2 * b * gp + gp * nb + b * ntiles * TILE_LANES,
+            bytes_accessed=(
+                2 * b * gp + gp * nb + b * ntiles * TILE_LANES
+                + extra_bytes
+            ),
             transcendentals=0,
         ),
         interpret=interpret,
     )(qcnt, planes)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "int8_dots"))
+def bitmap_hits(qcnt, planes, *, interpret: bool | None = None,
+                int8_dots: bool = False):
+    """qcnt (B, Gp) bf16 gram multiplicities  x  planes (Gp, NB) int8
+    packed incidence  ->  hits (B, NB * 8) int8, term-ordered columns.
+
+    Gp must equal g_padding(G) (HostIndex builds it so); tables wider
+    than GBLK rows stream in G blocks with int8 accumulation into the
+    revisited output block - gram-RICH corpora (50k+ grams) get the MXU
+    path instead of the XLA per-slot scan.
+    """
+    return _dispatch(
+        qcnt, planes, interpret=interpret, int8_dots=int8_dots,
+        with_bmax=False,
+    )
 
 
 _BMAX_BLK = 128  # selection block width (search.candidates._BLK)
@@ -219,51 +245,14 @@ def bitmap_hits_bmax(qcnt, planes, *, interpret: bool | None = None,
     leaves the kernel (no second full-matrix HBM pass).  Padding lanes
     yield bmax -1 (< any count), matching block_hmax's never-selected
     semantics for empty blocks."""
-    if interpret is None:
-        interpret = INTERPRET
-    b, gp = qcnt.shape
-    gp2, nb = planes.shape
-    assert gp == gp2 and nb % BLKB == 0, (b, gp, gp2, nb)
-    gblk = min(gp, GBLK)
-    assert gp % gblk == 0 and gp % 128 == 0, (gp, gblk)
-    gtiles = gp // gblk
-    ntiles = nb // BLKB
-    if int8_dots:
-        qcnt = qcnt.astype(jnp.int8)
-    grid = (ntiles,) if gtiles == 1 else (ntiles, gtiles)
-    ix = (lambda j: (0, 0)) if gtiles == 1 else (lambda j, gi: (0, gi))
-    bx = (lambda j: (0, j)) if gtiles == 1 else (lambda j, gi: (gi, j))
-    ox = (lambda j: (0, j)) if gtiles == 1 else (lambda j, gi: (0, j))
-    hits, bmax = pl.pallas_call(
-        _make_kernel_bmax(int8_dots, gtiles, b),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((b, gblk), ix),
-            pl.BlockSpec((gblk, BLKB), bx),
-        ],
-        out_specs=[
-            pl.BlockSpec((b, TILE_LANES), ox),
-            pl.BlockSpec((b, _BMAX_BLK), ox),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, ntiles * TILE_LANES), jnp.int8),
-            jax.ShapeDtypeStruct((b, ntiles * _BMAX_BLK), jnp.int8),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",) * len(grid),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * gp * ntiles * TILE_LANES,
-            bytes_accessed=(
-                2 * b * gp + gp * nb
-                + b * ntiles * (TILE_LANES + _BMAX_BLK)
-            ),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(qcnt, planes)
+    hits, bmax = _dispatch(
+        qcnt, planes, interpret=interpret, int8_dots=int8_dots,
+        with_bmax=True,
+    )
     # lanes [SUBS, 128) of each tile's bmax block are -1 filler; the real
     # maxima sit in lanes [0, SUBS) in tile order
+    b = hits.shape[0]
+    ntiles = hits.shape[1] // TILE_LANES
     bm = bmax.reshape(b, ntiles, _BMAX_BLK)[:, :, :_SUBS]
     return hits, bm.reshape(b, ntiles * _SUBS)
 

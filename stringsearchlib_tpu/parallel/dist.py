@@ -615,10 +615,17 @@ class ShardedEngine(SearchEngine):
         """Forces step outputs replicated so every process can fetch them."""
         return NamedSharding(self.mesh, P())
 
+    # host-only leaves: promotion edges expand host-side
+    # (_promo_tables_sharded), so the per-shard key->edge CSR never
+    # needs device residency (~(K + E) x 8 B of HBM per shard at scale)
+    _HOST_ONLY = ("key_edge_ptr", "key_edge_term", "key_edge_weight")
+
     def _leaves(self) -> dict:
         if self._dev is None:
             dev = {}
             for name, arr in self.sx.leaves.items():
+                if name in self._HOST_ONLY:
+                    continue
                 spec = P(AXIS) if name in _STACKED else P()
                 if arr.dtype == np.uint8 or arr.dtype == np.uint32:
                     arr = arr.astype(np.int32)

@@ -208,11 +208,14 @@ def tp_dense_step(
     brute: bool,
     s_cap: int,
     top_k: int,
+    long_buckets: tuple = (),
 ):
     """Dense batched search (brute-short queries and candidate-guard
     retries): psum partial hits, then the single-chip dense scoring
-    (both tiers -> calcScore propagate -> full ranking) replicated."""
-    from ..search.editdist import dp_match
+    (both tiers -> calcScore propagate -> full ranking) replicated.
+    ``long_buckets``: width buckets for the brute whole-tier DP (the
+    replicated long tier is length-sorted, same as single-chip)."""
+    from ..search.editdist import dp_match, dp_match_tiered
 
     in_specs = (
         {n: (P(AXIS) if n in _G_STACKED else P()) for n in leaves},
@@ -238,7 +241,9 @@ def tp_dense_step(
                 s_short = jnp.zeros((ts,), jnp.float32)
                 mask_s = jnp.zeros((ts,), bool)
             if brute:
-                m_long = dp_match(di.long_tokens, di.long_lengths, qt, ql)
+                m_long = dp_match_tiered(
+                    di.long_tokens, di.long_lengths, qt, ql, long_buckets
+                )
                 s_a = jnp.concatenate(
                     [s_short, m_long.astype(jnp.float32) / qlen_f]
                 )
@@ -368,7 +373,13 @@ class GramShardedEngine(SearchEngine):
         if not self.host.indexed:
             return [([], [])] * len(queries)
 
-        want_cand = mode != "dense" and limit <= self.CAND_MAX_LIMIT
+        want_cand = mode != "dense" and (
+            mode == "candidates"
+            or (
+                limit <= self.CAND_MAX_LIMIT
+                and self.host.n_terms >= self.CAND_MIN_TERMS
+            )
+        )
         ke_counts = self.host.host_key_edge_counts
         items, brute_items = [], []
         for i, q in enumerate(queries):
@@ -499,12 +510,31 @@ class GramShardedEngine(SearchEngine):
                     tp_dense_step, mesh=self.mesh,
                     compute_short=compute_short, brute=brute,
                     s_cap=s_cap, top_k=top_k,
+                    long_buckets=(
+                        self.host.long_dp_buckets() if brute else ()
+                    ),
                 ),
                 out_shardings=NamedSharding(self.mesh, P()),
             ),
             lv,
         )
-        bsz = min(self._batch_cap(batch_bucket), b_all)
+        if brute:
+            # the whole-tier DP holds O(B x T x (w+2)) scan state per
+            # batch (same model as SearchEngine._run_brute_chunks); the
+            # generic 48 B/term cap under-budgets by ~w/12x
+            lt = self.gx.leaves["long_tokens"]
+            st = self.gx.leaves["short_tokens"]
+            w = max(
+                int(lt.shape[1]) if lt.ndim > 1 else 0,
+                int(st.shape[1]) if st.ndim > 1 else 0,
+            )
+            per_q = 12 * max(self.host.n_terms, 1) * (w + 2) + (1 << 18)
+            cap = max(int(self.BATCH_HBM_BUDGET // per_q), 1)
+            bsz = 1
+            while bsz * 2 <= min(cap, batch_bucket, b_all):
+                bsz *= 2
+        else:
+            bsz = min(self._batch_cap(batch_bucket), b_all)
         pending = []
         for lo in range(0, len(items), bsz):
             hi = min(lo + bsz, len(items))

@@ -733,7 +733,7 @@ def candidates_bitmap_mxu_impl(
     block_sel: bool = False,
     with_bound: bool = False,
     interpret: bool = False,
-    fused_bmax: bool = True,
+    fused_bmax: bool = False,
     bmax_blk: int = _BLK,
 ):
     """EXACT hit counts via the Pallas unpack-matmul kernel

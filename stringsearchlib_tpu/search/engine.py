@@ -830,10 +830,14 @@ class SearchEngine:
                 and fits_vmem(16, int(bm[0].shape[0]))
             )
             if bm_kernel:
-                # fused epilogue skips the separate (B, Tl) blockmax temp
+                # fused epilogue skips the separate (B, Tl) blockmax temp;
+                # the rescore buffers hold kb x blk lanes (~16 B/lane)
+                blk_eff = (
+                    _BLK if self.BITMAP_FUSED_BMAX else self.BITMAP_BMAX_BLK
+                )
                 per_q = (
                     (tlp if self.BITMAP_FUSED_BMAX else 2 * tlp)
-                    + 16 * cand_cap * _BLK
+                    + 16 * cand_cap * blk_eff
                     + 24 * n_edge
                     + (48 * ts if compute_short else 0)
                     + (1 << 16)
