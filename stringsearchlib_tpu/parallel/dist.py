@@ -159,12 +159,15 @@ def shard_index(host: HostIndex, n_shards: int) -> ShardedIndex:
         ).copy()
 
     leaves: dict = {}
+    # explicit widths: reshape(-1) is ambiguous on empty tiers
+    st_w = st_g.shape[1] if st_g.ndim > 1 else 0
+    lt_w = lt_g.shape[1] if lt_g.ndim > 1 else 0
     leaves["short_tokens"] = _stride_stack(
-        st_g.reshape(st_g.shape[0], -1), ts_c
+        st_g.reshape(st_g.shape[0], st_w), ts_c
     )
     leaves["short_lengths"] = _stride_stack(sl_g, ts_c)
     leaves["long_tokens"] = _stride_stack(
-        lt_g.reshape(lt_g.shape[0], -1), tl_c
+        lt_g.reshape(lt_g.shape[0], lt_w), tl_c
     )
     leaves["long_lengths"] = _stride_stack(ll_g, tl_c)
 

@@ -76,3 +76,27 @@ def test_tp_single_query_entry(engines):
     ref, tp_eng, _ = engines
     for q in ("KALOME", "*", "A"):
         assert tp_eng.search(q, 0.1, 7) == ref.search(q, 0.1, 7)
+
+
+def test_tp_weighted_2d_rows():
+    """2D rows with weights (multi-edge promo keys, weight-0 drops) must
+    match the dense engine through the TP psum path."""
+    words = _corpus(240, seed=41)
+    flat, weights = [], []
+    for j, k in enumerate(words):
+        flat += [k, k[1:] + "X"]
+        weights += [1.0, 0.0 if j % 5 == 0 else 0.5]
+    dense_host = build_index(flat, 2, weights, IndexConfig())
+    host = build_index(flat, 2, weights, IndexConfig(), to_device=False)
+    tp_eng = GramShardedEngine(
+        shard_index_by_grams(host, 8), make_mesh(8, AXIS)
+    )
+    ref = SearchEngine(dense_host)
+    qs = [words[0], words[3][1:] + "X", words[5][:-1], "*", "QQQQ"]
+    got = tp_eng.search_batch(qs, 0.2, 12)
+    for q, g in zip(qs, got):
+        w = ref.search(q, 0.2, 12)
+        assert g[0] == w[0], (q, g, w)
+        np.testing.assert_allclose(g[1], w[1], atol=1e-6)
+    # exact-match promotion must reach 100 through the psum path
+    assert got[0][1][0] == 100.0
