@@ -169,6 +169,18 @@ def _run_config(words, n_queries, threshold, limit, reps, singles=0,
     return out
 
 
+def _guarded(extra: dict, name: str, fn):
+    """One bench config must not kill the whole run: record the error
+    and keep going (the headline still prints)."""
+    import traceback
+
+    try:
+        extra[name] = fn()
+    except Exception as e:  # noqa: BLE001 - deliberately broad
+        traceback.print_exc()
+        extra[name] = {"error": f"{type(e).__name__}: {e}"}
+
+
 def main() -> None:
     n_keys = int(os.environ.get("BENCH_KEYS", 10_000_000))
     n_1m = int(os.environ.get("BENCH_1M_KEYS", 1_000_000))
@@ -180,15 +192,13 @@ def main() -> None:
     extra = {"threshold": threshold}
 
     if n_1m:
-        dense = _run_config(
+        _guarded(extra, "dense_1m", lambda: _run_config(
             _product_names(n_1m), n_queries, threshold, limit, reps,
             singles=32,
-        )
-        extra["dense_1m"] = dense
-        rich = _run_config(
+        ))
+        _guarded(extra, "rich_1m", lambda: _run_config(
             _rich_names(n_1m), n_queries, threshold, limit, reps
-        )
-        extra["rich_1m"] = rich
+        ))
 
     n_wide = int(os.environ.get("BENCH_WIDE_KEYS", 100_000))
     if n_wide:
@@ -196,24 +206,30 @@ def main() -> None:
 
         wide_words = _wide_names(n_wide)
         for gs in (2, 3):
-            extra[f"wide_100k_g{gs}"] = _run_config(
-                wide_words, min(n_queries, 256), threshold, limit,
-                max(1, reps - 2),
-                config=IndexConfig(wide=True, gram_size=gs),
+            _guarded(
+                extra, f"wide_100k_g{gs}",
+                lambda gs=gs: _run_config(
+                    wide_words, min(n_queries, 256), threshold, limit,
+                    max(1, reps - 2),
+                    config=IndexConfig(wide=True, gram_size=gs),
+                ),
             )
 
     n_2d = int(os.environ.get("BENCH_2D_ROWS", 1_000_000))
     if n_2d:
-        rows = _product_names(n_2d, seed=5)
-        descs = _rich_names(n_2d, seed=6)
-        flat = [x for kv in zip(rows, descs) for x in kv]
-        w = np.tile(np.array([1.0, 0.4]), n_2d)
-        r2d = _run_config(
-            flat, min(n_queries * 2, 1024), threshold, limit,
-            max(1, reps - 2), row_size=2, weights=w,
-        )
-        r2d["n_rows"] = n_2d
-        extra["index2d_1m_rows"] = r2d
+        def _run_2d():
+            rows = _product_names(n_2d, seed=5)
+            descs = _rich_names(n_2d, seed=6)
+            flat = [x for kv in zip(rows, descs) for x in kv]
+            w = np.tile(np.array([1.0, 0.4]), n_2d)
+            r2d = _run_config(
+                flat, min(n_queries * 2, 1024), threshold, limit,
+                max(1, reps - 2), row_size=2, weights=w,
+            )
+            r2d["n_rows"] = n_2d
+            return r2d
+
+        _guarded(extra, "index2d_1m_rows", _run_2d)
 
     head = _run_config(
         _product_names(n_keys, seed=2), n_queries, threshold, limit, reps,

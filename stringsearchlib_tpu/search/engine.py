@@ -730,6 +730,9 @@ class SearchEngine:
     # stage probe sweeps 128-1024 (wider rows gather faster, coarser
     # bounds select more lanes) - flip after hardware measurement
     BITMAP_BMAX_BLK = 128
+    # allow the G-TILED kernel variant (tables over GBLK gram rows).
+    # Off until Mosaic-compiled on hardware; the scan path covers it.
+    BITMAP_GTILE_OK = False
     SK_KSB = 256  # superblocks kept per query (first pass)
     SK_KB = 512  # blocks kept per query (first pass)
 
@@ -823,11 +826,18 @@ class SearchEngine:
             # byte tile + unpacked plane resident in VMEM, and its bf16
             # counts are exact only to 127 multiplicity; otherwise the
             # XLA scan fallback (which pays a (B, Tl) accumulator pass
-            # per query-gram slot)
+            # per query-gram slot).  Tables wider than GBLK rows need the
+            # G-TILED kernel variant (revisited-output accumulation),
+            # gated off until Mosaic-compiled on hardware - the scan
+            # fallback is slower but measured (433 qps at 1M gram-rich).
+            from ..ops.bitmap_matmul import GBLK
+
+            gp_rows = int(bm[0].shape[0])
             bm_kernel = (
                 jax.default_backend() != "cpu"
                 and slots.shape[1] <= 127
-                and fits_vmem(16, int(bm[0].shape[0]))
+                and fits_vmem(16, gp_rows)
+                and (gp_rows <= GBLK or self.BITMAP_GTILE_OK)
             )
             if bm_kernel:
                 # fused epilogue skips the separate (B, Tl) blockmax temp;
