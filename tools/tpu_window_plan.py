@@ -119,6 +119,46 @@ def stage_fused():
     return dt_f < dt_b
 
 
+def stage_gtile():
+    """Compile + parity-check the G-TILED kernel variant (tables over
+    GBLK gram rows) on hardware; flips BITMAP_GTILE_OK if it passes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stringsearchlib_tpu.config import IndexConfig
+    from stringsearchlib_tpu.index.build import build_index
+    from stringsearchlib_tpu.ops.bitmap_matmul import (
+        GBLK, bitmap_hits, bitmap_hits_ref,
+    )
+
+    import bench
+
+    words = bench._rich_names(150_000)  # ~46k distinct trigrams > GBLK
+    host = build_index(words, 1, None, IndexConfig())
+    bm, _ = host.bitmap_tables()
+    gp = int(bm.shape[0])
+    assert gp > GBLK, f"corpus only made {gp} gram rows; need > {GBLK}"
+    rng = np.random.default_rng(9)
+    B = 128
+    q = jnp.asarray(
+        (rng.random((B, gp)) < 0.0006).astype(np.int8)
+    )
+    log(f"compiling G-tiled kernel (gp={gp}, {gp // GBLK} tiles)...")
+    t0 = time.perf_counter()
+    hits = bitmap_hits(q, bm, int8_dots=True)
+    jax.device_get(hits.ravel()[:1])
+    log(f"G-tiled compiled+ran in {time.perf_counter() - t0:.1f}s")
+    want = np.asarray(bitmap_hits_ref(q.astype(jnp.bfloat16), bm))
+    np.testing.assert_array_equal(np.asarray(hits), want)
+    log("G-tiled kernel PARITY OK on hardware -> flip "
+        "SearchEngine.BITMAP_GTILE_OK = True")
+    dt = tm(lambda x: bitmap_hits(x, bm, int8_dots=True), [(q,)])
+    log(f"G-tiled kernel: {dt * 1e3:.1f} ms "
+        f"({bm.size / dt / 1e9:.0f} GB/s packed)")
+    return True
+
+
 def stage_mid(fused_ok: bool):
     import random
 
@@ -157,7 +197,7 @@ def stage_stages():
 
 
 def main():
-    stages = sys.argv[1:] or ["smoke", "fused", "mid", "stages"]
+    stages = sys.argv[1:] or ["smoke", "fused", "gtile", "mid", "stages"]
     fused_ok = False
     for s in stages:
         log(f"=== stage {s} ===")
@@ -166,6 +206,8 @@ def main():
                 stage_smoke()
             elif s == "fused":
                 fused_ok = stage_fused()
+            elif s == "gtile":
+                stage_gtile()
             elif s == "mid":
                 stage_mid(fused_ok)
             elif s == "stages":
