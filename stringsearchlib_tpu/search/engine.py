@@ -800,10 +800,12 @@ class SearchEngine:
         # scales with the QUERIES' posting mass.  Route interactive
         # single/small batches through runs when their lane space is small
         # (measured: 10M-key single-query p50 116 ms via bitmap kernel).
+        # NOTE: gate on len(items), not b_all - _prep_rows pads b_all to
+        # a pow2 >= 16, which silently disabled this route entirely
         tiny_runs = (
             gm is None
             and self.host.n_terms >= self.SKETCH_MIN_TERMS
-            and b_all <= self.RUNS_TINY_BATCH
+            and len(items) <= self.RUNS_TINY_BATCH
             and s_cap <= self.RUNS_TINY_LANES
         )
         bm = None

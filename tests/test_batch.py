@@ -106,6 +106,26 @@ def test_gram_matrix_budget():
     assert host._gram_matrix_cache is False
 
 
+def test_tiny_batches_route_through_runs():
+    """Single/small batches on gm-less indexes must take the sorted-runs
+    front end (per-query posting cost) instead of streaming the full
+    bitmap table per dispatch: the bitmap tables are never built."""
+    host = build_index(WORDS * 20, 1, None, IndexConfig())
+    engine = SearchEngine(host)
+    engine.GM_BUDGET = 0  # force gm=None
+    engine.SKETCH_MIN_TERMS = 0
+    engine.CAND_MIN_TERMS = 1
+    got = engine.search_batch(["telephon"], 0.3, 10)
+    assert host._bitmap_cache is None, "tiny batch built the bitmap table"
+    want = engine.search_batch(
+        ["telephon"], 0.3, 10, mode="dense"
+    )
+    assert got == want
+    # larger batches DO use the table-streaming front ends
+    engine.search_batch(["telephon"] * 32, 0.3, 10)
+    assert host._bitmap_cache is not None
+
+
 def test_brute_short_batched_parity():
     """qlen <= gram_size queries run through the batched brute tier and
     must match the single-query path exactly."""
