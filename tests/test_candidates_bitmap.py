@@ -94,6 +94,39 @@ def test_bitmap_kernel_fused_blockmax(host_engine):
         np.testing.assert_array_equal(np.asarray(bmax), want_b)
 
 
+def test_bitmap_kernel_gtiled_fused_blockmax():
+    """G-tiled (gtiles > 1) x fused blockmax: the epilogue must fire only
+    after the LAST G step's accumulation."""
+    import random as _random
+
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.ops.bitmap_matmul import (
+        GBLK, bitmap_hits, bitmap_hits_bmax,
+    )
+    from stringsearchlib_tpu.search.candidates import _BLK, block_hmax
+
+    rng = _random.Random(3)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(8, 20)))
+        for _ in range(3000)
+    ]
+    host = build_index(words, 1, None, IndexConfig())
+    bm, _ = host.bitmap_tables()
+    gp = int(bm.shape[0])
+    assert gp > GBLK, gp  # the corpus must actually force G-tiling
+    nrng = np.random.default_rng(5)
+    qcnt = (nrng.random((16, gp)) < 0.002).astype(np.float32)
+    q = jnp.asarray(qcnt, dtype=jnp.bfloat16)
+    hits, bmax = bitmap_hits_bmax(q, bm, interpret=True, int8_dots=True)
+    want_h = np.asarray(bitmap_hits(q, bm, interpret=True, int8_dots=True))
+    np.testing.assert_array_equal(np.asarray(hits), want_h)
+    nblk = want_h.shape[1] // _BLK
+    want_b = np.asarray(block_hmax(jnp.asarray(want_h), nblk, _BLK))
+    np.testing.assert_array_equal(np.asarray(bmax), want_b)
+
+
 @pytest.mark.parametrize("block_sel", [False, True])
 def test_bitmap_mxu_front_end_parity(host_engine, block_sel):
     """candidates_bitmap_mxu (kernel, interpret) == candidates_bitmap
