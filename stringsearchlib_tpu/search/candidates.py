@@ -2,26 +2,36 @@
 
 The dense engine does O(T + E + K log K) work per query - fatal at millions
 of keys (full key sort per query).  This module computes exact top-limit
-results in candidate space instead.  Two interchangeable front halves
-produce per-term long-tier scores; a shared back half (selection -> edge
+results in candidate space instead.  Interchangeable front halves produce
+per-term long-tier scores; a shared back half (selection -> edge
 expansion -> promotion -> ranking -> exactness guard) finishes the query:
 
 * ``candidates_matmul`` - MXU front end for gram-DENSE corpora (few
   distinct grams, long posting lists).  Hit counts for the whole batch are
-  one bf16 matmul: q_cnt (B, G) @ M (G, Tl), where M is the 0/1 gram->term
-  incidence matrix.  Counts are small integers, so bf16 products with f32
-  accumulation are EXACT.  This is the reference's hottest loop
-  (searchLong, nGramSearch.hpp:289-298) mapped onto the systolic array.
+  one int8 matmul: q_cnt (B, G) @ M (G, Tl), where M is the 0/1 gram->term
+  incidence matrix.  Counts are small integers, so the products are EXACT.
+  This is the reference's hottest loop (searchLong,
+  nGramSearch.hpp:289-298) mapped onto the systolic array.
+
+* ``candidates_bitmap_mxu`` / ``candidates_bitmap`` - bit-PACKED incidence
+  (1/8 the HBM) for tiers where the dense M cannot be resident: the Pallas
+  unpack-matmul kernel (ops.bitmap_matmul) on hardware, an XLA per-slot
+  scan otherwise.  At huge tiers the blockmax finish selects candidate
+  blocks by bound before any full-width f32 math.
 
 * ``candidates_runs`` - sorted-postings front end for gram-SPARSE corpora
-  (posting lists short; a dense M would waste HBM).  The query's posting
-  ranges are CSR-expanded into (s_cap,) lanes and sorted; run lengths ARE
-  the hit counts.  O(P_q log P_q) where P_q = total postings touched - the
+  or tiny batches (posting lists short; a full-table stream would be the
+  wrong cost model).  The query's posting ranges are CSR-expanded into
+  (s_cap,) lanes and sorted; run lengths ARE the hit counts.
+  O(P_q log P_q) where P_q = total postings touched - the
   information-theoretic minimum for exhaustive counting - with no scatters
   (20-40x slower than sorts on v5e) and no O(T) dense vectors.
 
-The engine picks per index: matmul when G * Tl fits the HBM budget, runs
-otherwise (SearchEngine._run_candidate_chunks).
+(The hashed bucket-sketch front end for very large gram-rich tiers lives
+in search.sketch.)  The engine picks per index and batch size
+(SearchEngine._run_candidate_chunks): dense matmul when G * Tl fits the
+HBM budget, bitmap when the packed table fits, sketch when even that is
+too big, runs for gram-sparse corpora and tiny batches.
 
 Exactness guarantee (host falls back to the dense path when it fails):
   * if n_pass <= C and no edge overflow, every passing term was expanded ->
