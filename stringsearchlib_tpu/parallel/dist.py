@@ -630,7 +630,10 @@ class ShardedEngine(SearchEngine):
                 if name in self._HOST_ONLY:
                     continue
                 spec = P(AXIS) if name in _STACKED else P()
-                if arr.dtype == np.uint8 or arr.dtype == np.uint32:
+                if arr.dtype == np.uint32:
+                    # wide codepoints widen for signed-safe compares;
+                    # uint8 byte tokens ship and stay narrow (4x fewer
+                    # upload bytes, same as the single-chip rule)
                     arr = arr.astype(np.int32)
                 dev[name] = self._place(arr, spec)
             self._dev = dev
@@ -701,49 +704,19 @@ class ShardedEngine(SearchEngine):
 
     # -- host-side prep overrides -----------------------------------------
 
-    def _prep_rows(self, chunk, qp, min_b: int = 16):
-        """Same buffers as the single-chip engine (one batched gram
-        extraction + slot lookup), but s_cap is the MAX over shards of each
-        query's local posting total (each shard expands only its own
-        postings)."""
-        from ..core import grams as gramlib
-
-        g = self.cfg.gram_size
-        qmax = qp - g + 1
+    def _slot_mass(self, rowslots: np.ndarray) -> int:
+        """s_cap source for the sharded engine: the MAX over shards of any
+        query's LOCAL posting total (each shard expands only its own
+        postings; SearchEngine._prep_rows supplies everything else)."""
         lens2d = self.sx.host_shard_posting_lens
-        b = _next_pow2(len(chunk), min_b)
-        qtok = np.zeros((b, qp), dtype=np.int32)
-        qlens = np.zeros(b, dtype=np.int32)
-        slots = np.full((b, qmax), -1, dtype=np.int32)
-        for r, item in enumerate(chunk):
-            qlen = item[2]
-            qtok[r, :qlen] = item[1][:qlen]
-            qlens[r] = qlen
-        use_short = (qlens > 0) & (qlens < self.cfg.short_search_cutoff)
-        nqg = np.maximum(qlens - (g - 1), 0).astype(np.int32)
-        nn = len(chunk)
-        s_total = 0
-        if nn and qmax > 0:
-            ids, valid = gramlib.gram_ids(
-                qtok[:nn], qlens[:nn], g, self.cfg.wide, self.host.vocab
-            )
-            rowslots = np.full(ids.shape, -1, np.int32)
-            fv = valid.ravel()
-            if fv.any():
-                rowslots.ravel()[fv] = self.host.lookup_gram_slots(
-                    ids.ravel()[fv]
-                )
-            m = min(qmax, rowslots.shape[1])
-            slots[:nn, :m] = rowslots[:, :m]
-            if lens2d.size:
-                # (S, B, Q) gather is tiny (S shards x chunk x windows)
-                per = np.where(
-                    rowslots[None, :, :] >= 0,
-                    lens2d[:, np.clip(rowslots, 0, None)], 0,
-                ).sum(axis=2)
-                s_total = int(per.max()) if per.size else 0
-        s_cap = _next_pow2(max(s_total, 1), 1024)
-        return b, qtok, qlens, slots, nqg, use_short, s_cap
+        if not lens2d.size or not rowslots.size:
+            return 0
+        # (S, B, Q) gather is tiny (S shards x chunk x windows)
+        per = np.where(
+            rowslots[None, :, :] >= 0,
+            lens2d[:, np.clip(rowslots, 0, None)], 0,
+        ).sum(axis=2)
+        return int(per.max())
 
     def _promo_tables_sharded(self, promo_all: np.ndarray):
         """(S, B, PK, PE) promo edge term/weight packs from the host
@@ -891,7 +864,6 @@ class ShardedEngine(SearchEngine):
         lv = self._leaves()
         ts_c, tl_c = self.sx.ts_c, self.sx.tl_c
         x_total = int(lv["extra_key"].shape[1])
-        has_extras = bool(np.asarray(self.sx.leaves["extra_key"] >= 0).any())
         n_edge = min(
             max(_next_pow2(max(x_total, 1), 16), 16), self.CAND_EDGES
         )

@@ -694,13 +694,19 @@ def candidates_bitmap_impl(
     b = qslots.shape[0]
     tl_pad = bitmap.shape[1] * 8
 
+    # int8 accumulation is exact only while hits <= 127, i.e. at most 127
+    # gram windows per query; wider query buckets accumulate in int32
+    # (mirrors candidates_matmul's cnt_dtype - a repeated-character query
+    # can hit one term >127 times and wrap int8 silently otherwise)
+    acc_t = jnp.int8 if qslots.shape[1] <= 127 else jnp.int32
+
     def step(acc, slot_col):
         rows = bitmap[jnp.clip(slot_col, 0, max(g_total - 1, 0))]
-        exp = _unpack_planes(rows).astype(jnp.int8)  # (B, tl_pad)
-        acc = acc + jnp.where((slot_col >= 0)[:, None], exp, jnp.int8(0))
+        exp = _unpack_planes(rows).astype(acc_t)  # (B, tl_pad)
+        acc = acc + jnp.where((slot_col >= 0)[:, None], exp, acc_t(0))
         return acc, None
 
-    acc0 = jnp.zeros((b, tl_pad), jnp.int8)
+    acc0 = jnp.zeros((b, tl_pad), acc_t)
     hits, _ = jax.lax.scan(step, acc0, qslots.T)
     return _dense_hits_finish(
         di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,

@@ -384,9 +384,14 @@ class SearchEngine:
             qtok, qmax, slots, n_qgrams, s_cap = self._query_buffers(qnorm, qlen)
             use_short = qlen < self.cfg.short_search_cutoff
             brute_long = qlen <= self.cfg.brute_force_cutoff
-            promo = np.full(self.PROMO_KEYS, -1, np.int32)
+            # dense paths carry EVERY promo id (pow2-bucketed width) - a
+            # fixed PROMO_KEYS slice would silently drop the 0.999 -> 100
+            # promotion for the 9th+ key normalizing to the query text
             pids = self.host.promo_key_ids(qnorm, qlen)
-            promo[: pids.size] = pids[: self.PROMO_KEYS]
+            promo = np.full(
+                _next_pow2(max(pids.size, 1), self.PROMO_KEYS), -1, np.int32
+            )
+            promo[: pids.size] = pids
             count, ids, scores = _search_device(
                 di,
                 jnp.asarray(qtok),
@@ -600,7 +605,6 @@ class SearchEngine:
         overhead per 512 queries)."""
         g = self.cfg.gram_size
         qmax = qp - g + 1
-        lens_tbl = self.host.host_posting_lens
         b = _next_pow2(len(chunk), min_b)
         qtok = np.zeros((b, qp), dtype=np.int32)
         qlens = np.zeros(b, dtype=np.int32)
@@ -625,13 +629,22 @@ class SearchEngine:
                 )
             m = min(qmax, rowslots.shape[1])
             slots[:nn, :m] = rowslots[:, :m]
-            if lens_tbl.size:
-                stot = np.where(
-                    rowslots >= 0, lens_tbl[np.clip(rowslots, 0, None)], 0
-                ).sum(axis=1)
-                s_total = int(stot.max()) if stot.size else 0
+            s_total = self._slot_mass(rowslots)
         s_cap = _next_pow2(max(s_total, 1), 1024)
         return b, qtok, qlens, slots, nqg, use_short, s_cap
+
+    def _slot_mass(self, rowslots: np.ndarray) -> int:
+        """Max postings any one query's gram slots expand to - the static
+        lane bound for the runs/overlap paths.  The sharded engine
+        overrides this with a per-shard maximum (each shard expands only
+        its local postings)."""
+        lens_tbl = self.host.host_posting_lens
+        if not lens_tbl.size or not rowslots.size:
+            return 0
+        stot = np.where(
+            rowslots >= 0, lens_tbl[np.clip(rowslots, 0, None)], 0
+        ).sum(axis=1)
+        return int(stot.max())
 
     def _promo_tables(self, promo_all: np.ndarray):
         """(b, PK, PE) promo edge term ids (-1 padded) and weights from the
@@ -663,14 +676,22 @@ class SearchEngine:
         return terms, weights
 
     def _promo_array(self, chunk, b: int) -> np.ndarray:
-        """(b, PROMO_KEYS) int32 promotion key ids (-1 padded) from
-        prepared items (pos, qnorm, qlen, promo_ids)."""
-        promo = np.full((b, self.PROMO_KEYS), -1, np.int32)
-        for r, item in enumerate(chunk):
-            pids = item[3] if len(item) > 3 and item[3] is not None else (
+        """(b, PK) int32 promotion key ids (-1 padded) from prepared items
+        (pos, qnorm, qlen, promo_ids).  PK buckets to the chunk's actual
+        maximum (pow2, floor PROMO_KEYS): dense paths must carry EVERY
+        promo id - truncating would drop promotions when more than
+        PROMO_KEYS keys normalize to the same query text."""
+        rows = [
+            item[3] if len(item) > 3 and item[3] is not None else (
                 self.host.promo_key_ids(item[1], item[2])
             )
-            pids = pids[: self.PROMO_KEYS]
+            for item in chunk
+        ]
+        width = _next_pow2(
+            max((r.size for r in rows), default=1) or 1, self.PROMO_KEYS
+        )
+        promo = np.full((b, width), -1, np.int32)
+        for r, pids in enumerate(rows):
             promo[r, : pids.size] = pids
         return promo
 

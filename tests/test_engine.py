@@ -221,3 +221,30 @@ def test_tiny_batch_runs_override_parity():
         gs = sorted((round(s, 5), len(k)) for k, s in zip(*g))
         ws = sorted((round(s, 5), len(k)) for k, s in zip(*w))
         assert gs == ws, (q, g, w)
+
+
+def test_promotion_beyond_eight_keys():
+    """More than PROMO_KEYS raw keys normalizing to the same text must ALL
+    promote to 100 (a fixed-width promo slice silently dropped the 9th+;
+    the reference promotes every matching key, nGramSearch.hpp:328-336)."""
+    import numpy as np
+
+    from stringsearchlib_tpu.utils.oracle import OracleIndex
+
+    # 12 distinct raw keys whose escapeBlank text is identically "KEY X"
+    # (each invalid char maps to a space; trims are no-ops)
+    variants = [f"KEY{c}X" for c in "_-#!&*()+=[]"]
+    words = variants + ["KEY XQ", "OTHERWORD", "PADDING TERM HERE"]
+    host = build_index(words, 1, None, IndexConfig())
+    eng = SearchEngine(host)
+    oracle = OracleIndex(words, 1)
+    for limit in (0, 20):
+        got_k, got_s = eng.search("KEY X", 0.1, limit)
+        want_k, want_s = oracle.search("KEY X", 0.1, limit)
+        promoted = [k for k, s in zip(got_k, got_s) if s == 100.0]
+        want_prom = [k for k, s in zip(want_k, want_s) if s == 100.0]
+        assert sorted(promoted) == sorted(want_prom)
+        assert len(promoted) == 12, (limit, got_k, got_s)
+    # batched path too
+    (bk, bs), = eng.search_batch(["KEY X"], 0.1, 20)
+    assert sum(1 for s in bs if s == 100.0) == 12
