@@ -743,17 +743,37 @@ class SearchEngine:
     # path when each query's bucketed posting mass fits RUNS_TINY_LANES
     RUNS_TINY_BATCH = 8
     RUNS_TINY_LANES = 1 << 22
-    # use the bitmap kernel's fused blockmax epilogue (ops.bitmap_matmul.
-    # bitmap_hits_bmax).  Off until Mosaic-compiled on real hardware: an
-    # interpret-validated kernel can still fail the vector layout pass.
+    # Hardware-gated switches.  Defaults are the proven configuration;
+    # tools/tpu_window_plan.py validates the pending kernels on a real
+    # chip and records wins in .hw_switches.json at the repo root, which
+    # overrides these class defaults for every later process (incl. the
+    # driver's bench) without a code edit.
+    #   fused_bmax: bitmap kernel's fused VMEM blockmax epilogue
+    #   gtile_ok:   G-TILED kernel variant (tables over GBLK gram rows)
+    #   bmax_blk:   blockmax width for the XLA (non-fused) finish
     BITMAP_FUSED_BMAX = False
-    # blockmax block width for the XLA (non-fused) bitmap finish; the
-    # stage probe sweeps 128-1024 (wider rows gather faster, coarser
-    # bounds select more lanes) - flip after hardware measurement
     BITMAP_BMAX_BLK = 128
-    # allow the G-TILED kernel variant (tables over GBLK gram rows).
-    # Off until Mosaic-compiled on hardware; the scan path covers it.
     BITMAP_GTILE_OK = False
+
+    @classmethod
+    def _load_hw_switches(cls) -> None:
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..", "..", ".hw_switches.json",
+        )
+        try:
+            with open(path) as f:
+                hw = json.load(f)
+        except (OSError, ValueError):
+            return
+        cls.BITMAP_FUSED_BMAX = bool(
+            hw.get("fused_bmax", cls.BITMAP_FUSED_BMAX)
+        )
+        cls.BITMAP_GTILE_OK = bool(hw.get("gtile_ok", cls.BITMAP_GTILE_OK))
+        cls.BITMAP_BMAX_BLK = int(hw.get("bmax_blk", cls.BITMAP_BMAX_BLK))
     SK_KSB = 256  # superblocks kept per query (first pass)
     SK_KB = 512  # blocks kept per query (first pass)
 
@@ -1044,3 +1064,6 @@ class SearchEngine:
                 else:
                     retry.append(item)
         return retry, n_cand, n_lanes
+
+
+SearchEngine._load_hw_switches()

@@ -199,6 +199,7 @@ def stage_stages():
 def main():
     stages = sys.argv[1:] or ["smoke", "fused", "gtile", "mid", "stages"]
     fused_ok = False
+    gtile_ok = False
     for s in stages:
         log(f"=== stage {s} ===")
         try:
@@ -207,7 +208,7 @@ def main():
             elif s == "fused":
                 fused_ok = stage_fused()
             elif s == "gtile":
-                stage_gtile()
+                gtile_ok = stage_gtile()
             elif s == "mid":
                 stage_mid(fused_ok)
             elif s == "stages":
@@ -215,6 +216,24 @@ def main():
         except Exception:
             traceback.print_exc()
             log(f"stage {s} FAILED - continuing")
+    if fused_ok or gtile_ok:
+        # record hardware-validated switches: SearchEngine reads this at
+        # import, so the driver's separate bench process picks them up
+        import json
+
+        path = "/root/repo/.hw_switches.json"
+        try:
+            with open(path) as f:
+                hw = json.load(f)
+        except (OSError, ValueError):
+            hw = {}
+        if fused_ok:
+            hw["fused_bmax"] = True
+        if gtile_ok:
+            hw["gtile_ok"] = True
+        with open(path, "w") as f:
+            json.dump(hw, f)
+        log(f"wrote {path}: {hw}")
     log("window plan done")
 
 
