@@ -304,6 +304,9 @@ class SearchEngine:
         self.cfg = host.config
         # optional observability (utils.metrics.QueryMetrics); None = off
         self.metrics = None
+        # wildcard results are query-independent (every key at its max
+        # edge weight) and the index is immutable: cache per top_k
+        self._wildcard_cache: dict = {}
 
     # -- query prep -----------------------------------------------------
 
@@ -365,7 +368,16 @@ class SearchEngine:
         if len(raw) == 0 or raw == "*":
             if di.edge_key.shape[0] == 0:
                 return [], []
-            count, ids, scores = _wildcard_device(di, top_k=top_k)
+            cached = self._wildcard_cache.get(top_k)
+            if cached is None:
+                cached = jax.device_get(_wildcard_device(di, top_k=top_k))
+                self._wildcard_cache[top_k] = cached
+            count, ids_np, scores_np = cached
+            n = min(int(count), limit, int(ids_np.shape[0]))
+            return (
+                [self.host.key_strings[i] for i in ids_np[:n]],
+                [float(s) for s in scores_np[:n]],
+            )
         else:
             qnorm, qlen = self._normalize_query(raw)
             if qlen == 0:
