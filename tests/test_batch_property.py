@@ -45,6 +45,12 @@ def test_batch_modes_match_oracle(wide, gram_size):
 
     queries = [words[rng.randrange(len(words))][: rng.randint(2, 10)]
                for _ in range(6)] + ["*", ""]
+    # over-width queries (> qp_bucket 32) exercise the pow2 width groups
+    queries += [
+        words[rng.randrange(len(words))] + words[rng.randrange(len(words))]
+        + words[rng.randrange(len(words))] + words[rng.randrange(len(words))]
+        for _ in range(2)
+    ]
     for threshold, limit in ((0.0, 10), (0.3, 5)):
         want = {}
         for q in queries:
