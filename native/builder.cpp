@@ -124,9 +124,11 @@ PyObject* build_narrow(PyObject* /*self*/, PyObject* args) {
   long gram_size_l;
   const char* valid_chars;
   Py_ssize_t valid_n;
+  int skip_postings = 0;  // caller rebuilds postings on device / in numpy
 
-  if (!PyArg_ParseTuple(args, "OlOly#", &words_obj, &row_size_l, &weights_obj,
-                        &gram_size_l, &valid_chars, &valid_n))
+  if (!PyArg_ParseTuple(args, "OlOly#|i", &words_obj, &row_size_l,
+                        &weights_obj, &gram_size_l, &valid_chars, &valid_n,
+                        &skip_postings))
     return nullptr;
   const Py_ssize_t row_size = std::max<long>(row_size_l, 1);
   const int g = static_cast<int>(gram_size_l);
@@ -281,21 +283,34 @@ PyObject* build_narrow(PyObject* /*self*/, PyObject* args) {
     }
     if (table.is_key[s]) key_ids.push_back(static_cast<uint32_t>(s));
   }
+  // long tier ordered by (length, first occurrence): the engine's
+  // width-bucketed DP needs a length-ascending tier, and sorting here
+  // makes the Python-side remap (_long_length_sort_native) an identity
+  // no-op instead of an O(P log P) postings fix-up
+  std::stable_sort(long_ids.begin(), long_ids.end(),
+                   [&](uint32_t a, uint32_t b) {
+                     return table.strings[a].size() <
+                            table.strings[b].size();
+                   });
   int32_t next = 0;
   for (uint32_t s : short_ids) term_local[s] = next++;
   for (uint32_t s : long_ids) term_local[s] = next++;
   next = 0;
   for (uint32_t s : key_ids) key_local[s] = next++;
 
-  // postings: per-term deduped grams -> counting-sorted CSR
+  // postings: per-term deduped grams -> counting-sorted CSR.  Skipped on
+  // request: at scale the caller shingles the gram CSR ON DEVICE from the
+  // resident token matrix (index.device_build) or with the vectorized
+  // numpy pass, and this block (shingle + sort of tens of millions of
+  // pairs) would be thrown away.
   std::vector<std::pair<int64_t, int32_t>> pairs;
-  {
+  if (!skip_postings) {
     size_t est = 0;
     for (uint32_t s : long_ids) est += table.strings[s].size();
     pairs.reserve(est);
   }
   std::vector<int64_t> local_grams;
-  for (size_t li = 0; li < long_ids.size(); ++li) {
+  for (size_t li = 0; !skip_postings && li < long_ids.size(); ++li) {
     const std::string& s = table.strings[long_ids[li]];
     local_grams.clear();
     for (size_t i = 0; i + g <= s.size(); ++i) {

@@ -714,6 +714,51 @@ def _dedup_rows(rows: np.ndarray, lengths: np.ndarray):
     return rank[inverse.ravel()].astype(np.int64), first_idx[order]
 
 
+def _host_postings(lt, ll, gram_size, wide, vocab):
+    """Vectorized numpy gram->term CSR from the long token matrix
+    (posting-set semantics: grams dedup per term, nGramSearch.h:296).
+    Returns (gram_terms int32, gram_ptr int32, distinct_gram_ids int64).
+
+    Narrow grams fit 8 * g <= 32 bits, so (gram, term) packs into ONE
+    uint64 key: a single sort replaces the lexsort, and distinct grams +
+    CSR pointers fall out of the sorted runs (np.unique would sort a
+    second time).  The wide path keeps the general lexsort."""
+    gids, gvalid = gramlib.gram_ids(lt, ll, gram_size, wide, vocab)
+    tt, ww = np.nonzero(gvalid)  # row-major: already term-sorted
+    flat_g = gids[tt, ww]
+    if not wide and gram_size <= 4:
+        keys = (flat_g.astype(np.uint64) << np.uint64(32)) | tt.astype(
+            np.uint64
+        )
+        keys.sort()
+        m = keys.shape[0]
+        keep = np.ones(m, bool)
+        keep[1:] = keys[1:] != keys[:-1]
+        keys = keys[keep]
+        sg = (keys >> np.uint64(32)).astype(np.int64)
+        stt = (keys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    else:
+        order = np.lexsort((tt, flat_g))
+        sg, stt = flat_g[order], tt[order]
+        keep = np.ones(sg.shape[0], bool)
+        keep[1:] = (sg[1:] != sg[:-1]) | (stt[1:] != stt[:-1])
+        sg, stt = sg[keep], stt[keep]
+    m = sg.shape[0]
+    if m == 0:
+        return (
+            np.zeros(0, np.int32), np.zeros(1, np.int32),
+            np.zeros(0, np.int64),
+        )
+    first = np.ones(m, bool)
+    first[1:] = sg[1:] != sg[:-1]
+    starts = np.nonzero(first)[0]
+    distinct = sg[starts]
+    ptr = np.empty(distinct.shape[0] + 1, dtype=np.int32)
+    ptr[:-1] = starts
+    ptr[-1] = m
+    return stt.astype(np.int32), ptr, distinct
+
+
 # below this many long terms the host postings build is cheaper than a
 # device round trip + per-shape compile
 DEVICE_POSTINGS_MIN = 50_000
@@ -808,9 +853,21 @@ def _build_from_native(
     w_arg = None
     if weights is not None:
         w_arg = [float(x) for x in weights]
-    d = nat.build_narrow(
-        words, int(row_size), w_arg, int(config.gram_size), bytes(valid_chars)
-    )
+    try:
+        # the C++ postings pass (shingle + sort of tens of millions of
+        # pairs at scale) is skipped: postings rebuild on device or via
+        # the vectorized numpy shingle below
+        d = nat.build_narrow(
+            words, int(row_size), w_arg, int(config.gram_size),
+            bytes(valid_chars), 1,
+        )
+        native_postings = False
+    except TypeError:  # stale .so without the skip flag
+        d = nat.build_narrow(
+            words, int(row_size), w_arg, int(config.gram_size),
+            bytes(valid_chars),
+        )
+        native_postings = True
     tables = textlib.TextTables(valid_chars, wide=False)
     dev, up = _converters(to_device)
 
@@ -845,10 +902,16 @@ def _build_from_native(
         )
         gram_ptr_dev = dev(gram_ptr_h)
     else:
-        gram_terms_dev = dev(d["gram_terms"])
-        gram_ptr_dev = dev(d["gram_ptr"])
-        gram_ptr_h = d["gram_ptr"]
-        gram_ids_h = d["gram_ids"]
+        if not native_postings:
+            gt_h, gram_ptr_h, gram_ids_h = _host_postings(
+                lt, d["long_lengths"], config.gram_size, False, None
+            )
+        else:
+            gt_h = d["gram_terms"]
+            gram_ptr_h = d["gram_ptr"]
+            gram_ids_h = d["gram_ids"]
+        gram_terms_dev = dev(gt_h)
+        gram_ptr_dev = dev(gram_ptr_h)
     key_tokens, key_lens = d["key_tokens"], d["key_lengths"]
     if key_tokens.shape[0]:
         knorm, knorm_len = textlib.normalize_matrix(
@@ -1037,20 +1100,9 @@ def _build_numpy(
             lt_dev, ll_dev, config.gram_size
         )
     elif n_long:
-        gids, gvalid = gramlib.gram_ids(lt, ll, config.gram_size, wide, vocab)
-        flat_g = gids[gvalid]
-        flat_t = np.broadcast_to(
-            np.arange(gids.shape[0], dtype=np.int64)[:, None], gids.shape
-        )[gvalid]
-        order = np.lexsort((flat_t, flat_g))
-        sg, stt = flat_g[order], flat_t[order]
-        keep = np.ones(sg.shape[0], bool)
-        keep[1:] = (sg[1:] != sg[:-1]) | (stt[1:] != stt[:-1])
-        sg, stt = sg[keep], stt[keep]
-        distinct_grams, counts = np.unique(sg, return_counts=True)
-        gram_ptr = np.zeros(distinct_grams.shape[0] + 1, dtype=np.int32)
-        np.cumsum(counts, out=gram_ptr[1:])
-        gram_terms = stt.astype(np.int32)
+        gram_terms, gram_ptr, distinct_grams = _host_postings(
+            lt, ll, config.gram_size, wide, vocab
+        )
     else:
         distinct_grams = np.zeros(0, dtype=np.int64)
         gram_ptr = np.zeros(1, dtype=np.int32)
