@@ -55,24 +55,33 @@ def plane_coords(term):
     return j * BLKB + r % BLKB, r // BLKB
 
 
-# gram rows per grid block: tables with more rows than this are G-tiled
-# and the output block accumulates across G steps (counts stay <= 127,
-# so int8 partial sums are exact)
+# gram rows per grid block for G-TILED tables; the output block
+# accumulates across G steps (counts stay <= 127, so the narrowed int8
+# partial sums are exact - the adds themselves widen to int32 because
+# Mosaic has no i8 vector add)
 GBLK = 2048
+
+# single-block ceiling: tables up to this many gram rows run un-tiled
+# (one G block, no revisited-output accumulation).  VMEM check: at
+# B = 256 the working set is ~2560 * g + 2.6 MB, so 4096 rows ~ 13 MB -
+# inside the 14 MB budget; the engine's fits_vmem caps B further.
+SBLK_MAX = 4096
 
 
 def g_padding(g: int) -> int:
     """Row padding the table must be built with: 128-multiple when one G
-    block covers it, GBLK-multiple otherwise (<= 4% overhead at 47k+)."""
-    if g <= GBLK:
-        return -(-max(g, 1) // 128) * 128
+    block covers it (<= SBLK_MAX rows), GBLK-multiple otherwise (<= 4%
+    overhead at 47k+)."""
+    r = -(-max(g, 1) // 128) * 128
+    if r <= SBLK_MAX:
+        return r
     return -(-g // GBLK) * GBLK
 
 
 def vmem_bytes(b: int, g_pad: int) -> int:
     """Rough VMEM bytes for a (b, g_pad) batch: q + 2x byte tile +
     unpacked plane + acc + 2x int8 out block, at the G-block size."""
-    gb = min(g_pad, GBLK)
+    gb = g_pad if g_pad <= SBLK_MAX else GBLK
     return (
         2 * b * gb  # q block
         + 2 * gb * BLKB  # byte tile, double-buffered
@@ -98,20 +107,26 @@ def _make_kernel(int8_dots: bool, gtiles: int):
             bit = (t & np.int8(-128 if p == 7 else 1 << p)) != 0
             acc = jnp.dot(
                 q, bit.astype(dot_t), preferred_element_type=acc_t
-            ).astype(jnp.int8)
+            )
             sl = slice(p * BLKB, (p + 1) * BLKB)
             if gtiles == 1:
-                out_ref[:, sl] = acc
+                out_ref[:, sl] = acc.astype(jnp.int8)
             else:
                 gi = pl.program_id(1)
 
                 @pl.when(gi == 0)
                 def _init(acc=acc, sl=sl):
-                    out_ref[:, sl] = acc
+                    out_ref[:, sl] = acc.astype(jnp.int8)
 
+                # Mosaic has no i8 vector add ("only vector<i16>/<i32>"):
+                # widen the resident out block to i32, add, narrow back.
+                # Exact: totals stay <= n_qgrams <= 127.
                 @pl.when(gi > 0)
                 def _accum(acc=acc, sl=sl):
-                    out_ref[:, sl] = out_ref[:, sl] + acc
+                    out_ref[:, sl] = (
+                        out_ref[:, sl].astype(jnp.int32)
+                        + acc.astype(jnp.int32)
+                    ).astype(jnp.int8)
 
     return kernel
 
@@ -125,7 +140,7 @@ def _dispatch(qcnt, planes, *, interpret, int8_dots, with_bmax):
     b, gp = qcnt.shape
     gp2, nb = planes.shape
     assert gp == gp2 and nb % BLKB == 0, (b, gp, gp2, nb)
-    gblk = min(gp, GBLK)
+    gblk = gp if gp <= SBLK_MAX else GBLK
     assert gp % gblk == 0 and gp % 128 == 0, (gp, gblk)
     gtiles = gp // gblk
     ntiles = nb // BLKB
@@ -203,12 +218,13 @@ def _make_kernel_bmax(int8_dots: bool, gtiles: int, b: int):
     same VMEM-resident tile the kernel just produced.
 
     Mosaic constraints shape the epilogue: no narrow-lane tensors (a
-    (B, 32) result is illegal), no signed i8 compares.  So the reduce is
-    a 7-step lane-rotation max in bf16 over the (B*32, 128) view, after
-    which every lane of block s holds its max; an iota mask then keeps
-    lane l only where l == s and a sublane max compacts the tile's 32
-    block maxima into lanes [0, 32) of a full (B, 128) vector (lanes
-    [32, 128) are -1).  The caller slices them back out.
+    (B, 32) result is illegal), no signed i8 compares, and no
+    tpu.dynamic_rotate (pltpu.roll failed to compile on v5e libtpu).  So
+    the reduce is a full-lane max over the (B*32, 128) view (lowers to
+    vector.multi_reduction) broadcast back to all 128 lanes; an iota
+    mask then keeps lane l only where l == s and a sublane max compacts
+    the tile's 32 block maxima into lanes [0, 32) of a full (B, 128)
+    vector (lanes [32, 128) are -1).  The caller slices them back out.
     """
     base = _make_kernel(int8_dots, gtiles)
 
@@ -220,15 +236,25 @@ def _make_kernel_bmax(int8_dots: bool, gtiles: int, b: int):
         def _epilogue():
             a = out_ref[:].astype(jnp.bfloat16)  # (b, TILE_LANES)
             a2 = a.reshape(b * _SUBS, _BMAX_BLK)
-            for sh in (1, 2, 4, 8, 16, 32, 64):
-                a2 = jnp.maximum(a2, pltpu.roll(a2, sh, 1))
+            a2 = jnp.broadcast_to(
+                jnp.max(a2, axis=1, keepdims=True), (b * _SUBS, _BMAX_BLK)
+            )
+            # keep lane l of sublane-group s only where l == s, else -1.
+            # Arithmetic indicator instead of an i1 select: comparing two
+            # iotas produced a vector<i1> relayout Mosaic rejects
+            # ("non-singleton dimension replicated in destination").
+            # _SUBS is a power of two, so row % _SUBS == row & (_SUBS-1).
             lane = jax.lax.broadcasted_iota(
                 jnp.int32, (b * _SUBS, _BMAX_BLK), 1
             )
             sub = jax.lax.broadcasted_iota(
                 jnp.int32, (b * _SUBS, _BMAX_BLK), 0
-            ) % _SUBS
-            m = jnp.where(lane == sub, a2, jnp.bfloat16(-1.0))
+            ) & (_SUBS - 1)
+            diff = lane - sub
+            ind = jnp.clip(
+                1 - jnp.maximum(diff, -diff), 0, 1
+            ).astype(jnp.bfloat16)  # 1 iff lane == sub
+            m = a2 * ind + (ind - jnp.bfloat16(1.0))  # a2 >= 0
             red = jnp.max(m.reshape(b, _SUBS, _BMAX_BLK), axis=1)
             bmax_ref[:] = red.astype(jnp.int8)
 

@@ -307,6 +307,10 @@ class SearchEngine:
         # wildcard results are query-independent (every key at its max
         # edge weight) and the index is immutable: cache per top_k
         self._wildcard_cache: dict = {}
+        # resolved routing of the most recent candidate pass: the bench
+        # artifact records this per config so a silent fallback (kernel
+        # vs scan, tiny-runs, sketch) is visible in BENCH_r*.json
+        self.last_routing: dict = {}
 
     # -- query prep -----------------------------------------------------
 
@@ -755,17 +759,21 @@ class SearchEngine:
     # path when each query's bucketed posting mass fits RUNS_TINY_LANES
     RUNS_TINY_BATCH = 8
     RUNS_TINY_LANES = 1 << 22
-    # Hardware-gated switches.  Defaults are the proven configuration;
-    # tools/tpu_window_plan.py validates the pending kernels on a real
-    # chip and records wins in .hw_switches.json at the repo root, which
-    # overrides these class defaults for every later process (incl. the
-    # driver's bench) without a code edit.
+    # Hardware-validated switches (round 3, v5e).  The class defaults ARE
+    # the proven configuration - a gitignored state file must never again
+    # be the only thing standing between the driver's bench and a slow
+    # fallback (round 2 shipped 35 q/s that way).  .hw_switches.json
+    # remains as an emergency override only.
     #   fused_bmax: bitmap kernel's fused VMEM blockmax epilogue
-    #   gtile_ok:   G-TILED kernel variant (tables over GBLK gram rows)
+    #               (hardware-parity OK round 3; wins only when the
+    #               separate XLA blockmax pass re-reads a huge hits
+    #               matrix, so the engine sizes it by tier below)
+    #   gtile_ok:   G-TILED kernel variant (tables over SBLK_MAX rows;
+    #               hardware-validated round 3: int32 widened accumulate)
     #   bmax_blk:   blockmax width for the XLA (non-fused) finish
     BITMAP_FUSED_BMAX = False
     BITMAP_BMAX_BLK = 128
-    BITMAP_GTILE_OK = False
+    BITMAP_GTILE_OK = True
 
     @classmethod
     def _load_hw_switches(cls) -> None:
@@ -881,18 +889,18 @@ class SearchEngine:
             # byte tile + unpacked plane resident in VMEM, and its bf16
             # counts are exact only to 127 multiplicity; otherwise the
             # XLA scan fallback (which pays a (B, Tl) accumulator pass
-            # per query-gram slot).  Tables wider than GBLK rows need the
-            # G-TILED kernel variant (revisited-output accumulation),
-            # gated off until Mosaic-compiled on hardware - the scan
-            # fallback is slower but measured (433 qps at 1M gram-rich).
-            from ..ops.bitmap_matmul import GBLK
+            # per query-gram slot).  Tables wider than SBLK_MAX rows run
+            # the G-TILED kernel variant (revisited-output int32
+            # accumulation), hardware-validated round 3; BITMAP_GTILE_OK
+            # exists as an emergency off-switch via .hw_switches.json.
+            from ..ops.bitmap_matmul import SBLK_MAX
 
             gp_rows = int(bm[0].shape[0])
             bm_kernel = (
                 jax.default_backend() != "cpu"
                 and slots.shape[1] <= 127
                 and fits_vmem(16, gp_rows)
-                and (gp_rows <= GBLK or self.BITMAP_GTILE_OK)
+                and (gp_rows <= SBLK_MAX or self.BITMAP_GTILE_OK)
             )
             if bm_kernel:
                 # fused epilogue skips the separate (B, Tl) blockmax temp;

@@ -241,6 +241,7 @@ def test_bitmap_kernel_gtiled_parity(monkeypatch):
     from stringsearchlib_tpu.ops import bitmap_matmul as bm
 
     monkeypatch.setattr(bm, "GBLK", 256)
+    monkeypatch.setattr(bm, "SBLK_MAX", 256)  # force tiling below 4096 rows
     rng = np.random.default_rng(5)
     gp, nb = 1024, 2 * bm.BLKB  # 4 G tiles x 2 T tiles
     planes = jnp.asarray(

@@ -129,7 +129,7 @@ def stage_gtile():
     from stringsearchlib_tpu.config import IndexConfig
     from stringsearchlib_tpu.index.build import build_index
     from stringsearchlib_tpu.ops.bitmap_matmul import (
-        GBLK, bitmap_hits, bitmap_hits_ref,
+        BLKB, GBLK, TILE_LANES, bitmap_hits, plane_coords,
     )
 
     import bench
@@ -141,16 +141,24 @@ def stage_gtile():
     assert gp > GBLK, f"corpus only made {gp} gram rows; need > {GBLK}"
     rng = np.random.default_rng(9)
     B = 128
-    q = jnp.asarray(
-        (rng.random((B, gp)) < 0.0006).astype(np.int8)
-    )
+    qn = (rng.random((B, gp)) < 0.0006).astype(np.int8)
+    q = jnp.asarray(qn)
     log(f"compiling G-tiled kernel (gp={gp}, {gp // GBLK} tiles)...")
     t0 = time.perf_counter()
     hits = bitmap_hits(q, bm, int8_dots=True)
-    jax.device_get(hits.ravel()[:1])
+    hits_np = np.asarray(hits)
     log(f"G-tiled compiled+ran in {time.perf_counter() - t0:.1f}s")
-    want = np.asarray(bitmap_hits_ref(q.astype(jnp.bfloat16), bm))
-    np.testing.assert_array_equal(np.asarray(hits), want)
+    # parity vs a HOST numpy unpack on sampled column tiles (the XLA
+    # whole-table unpack reference materializes 14 GB at this shape)
+    bm_np = np.asarray(bm).view(np.uint8)
+    ntiles = bm_np.shape[1] // BLKB
+    byte, bit = plane_coords(np.arange(TILE_LANES))
+    for j in rng.choice(ntiles, size=8, replace=False):
+        tile = bm_np[:, j * BLKB : (j + 1) * BLKB]  # (gp, BLKB)
+        exp = (tile[:, byte] >> bit.astype(np.uint8)) & 1  # (gp, 4096)
+        want = qn.astype(np.int32) @ exp.astype(np.int32)
+        got = hits_np[:, j * TILE_LANES : (j + 1) * TILE_LANES]
+        np.testing.assert_array_equal(got, want.astype(np.int8))
     log("G-tiled kernel PARITY OK on hardware -> flip "
         "SearchEngine.BITMAP_GTILE_OK = True")
     dt = tm(lambda x: bitmap_hits(x, bm, int8_dots=True), [(q,)])
