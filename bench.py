@@ -154,6 +154,10 @@ def _run_config(words, n_queries, threshold, limit, reps, singles=0,
                 "sketch" if sk is not None else "runs"
             )
         ),
+        # the RESOLVED device path (kernel vs scan, tiling, batch step):
+        # round 2's 20x regression was a silent kernel->scan fallback that
+        # no artifact recorded
+        "routing": dict(engine.last_routing),
     }
     if singles:
         qs = queries[:singles]
@@ -164,6 +168,7 @@ def _run_config(words, n_queries, threshold, limit, reps, singles=0,
         out["single_query_p50_ms"] = round(
             (time.perf_counter() - t2) / len(qs) * 1e3, 3
         )
+        out["single_query_routing"] = dict(engine.last_routing)
     del engine, host, gm, bm, sk
     gc.collect()
     return out
@@ -236,6 +241,17 @@ def main() -> None:
         singles=32,
     )
     extra["headline"] = head
+
+    # shard-scaling artifact (tools/scaling_bench.py, virtual CPU mesh):
+    # generated out-of-band because a second python process would steal
+    # the TPU tunnel grant mid-bench; attach it so the driver captures it
+    scaling_path = os.path.join(os.path.dirname(__file__), "SCALING.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                extra["shard_scaling"] = json.load(f)
+        except (OSError, ValueError):
+            pass
 
     print(
         json.dumps(

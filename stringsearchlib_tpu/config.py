@@ -41,6 +41,14 @@ class IndexConfig:
       long_pad: padded width of the long-tier token matrix.  Terms longer than
         this are still indexed; only the brute-force DP tier clamps to it.
       query_pad: padded width for query token buffers inside jit.
+      wide_upper: uppercase mapping for wide codepoints >= 128.  The
+        reference calls C ``towupper`` (nGramSearch.h:83-87) without ever
+        calling setlocale, so the DLL as compiled uppercases ASCII only
+        ("c" mode).  The default "simple" mode applies the Unicode simple
+        uppercase mapping instead (single-codepoint only: one-to-many
+        expansions like ß -> SS and the fi ligature stay unchanged, which
+        is also what towupper does under a Unicode locale since it cannot
+        expand).  Narrow indexes always uppercase ASCII only.
     """
 
     gram_size: int = 3
@@ -48,12 +56,17 @@ class IndexConfig:
     short_pad: int = 8
     long_pad: int = 64
     query_pad: int = 64
+    wide_upper: str = "simple"
 
     def __post_init__(self) -> None:
         if self.gram_size not in (2, 3, 4):
             raise ValueError(f"gram_size must be in {{2,3,4}}, got {self.gram_size}")
         if self.short_pad < self.long_cutoff:
             raise ValueError("short_pad must cover the short tier")
+        if self.wide_upper not in ("simple", "c"):
+            raise ValueError(
+                f"wide_upper must be 'simple' or 'c', got {self.wide_upper!r}"
+            )
 
     # ---- derived cutoffs (reference constants generalized to gram_size) ----
 

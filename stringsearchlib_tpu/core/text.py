@@ -51,8 +51,14 @@ class TextTables:
     >= 128 are always kept.
     """
 
-    def __init__(self, valid_chars: bytes = DEFAULT_VALID_CHARS, wide: bool = False):
+    def __init__(
+        self,
+        valid_chars: bytes = DEFAULT_VALID_CHARS,
+        wide: bool = False,
+        wide_upper: str = "simple",
+    ):
         self.wide = wide
+        self.wide_upper = wide_upper
         self.valid_chars = bytes(valid_chars)
         # 256-entry LUTs; wide codepoints >= 256 bypass them.
         self.valid_lut = np.zeros(256, dtype=bool)
@@ -64,7 +70,9 @@ class TextTables:
         upper[lower] = lower - 32
         self.upper_lut = upper
         self._wide_spaces = np.array(sorted(_WIDE_SPACES), dtype=np.uint32)
-        # Lazy cache: codepoint -> towupper(codepoint) for codepoints >= 256.
+        # Lazy cache: codepoint -> simple uppercase for codepoints >= 128
+        # ("simple" mode; see IndexConfig.wide_upper for the towupper
+        # parity decision, reference nGramSearch.h:83-87).
         self._wide_upper_cache: dict[int, int] = {}
 
     # -- element predicates over token matrices --------------------------
@@ -82,10 +90,26 @@ class TextTables:
         return np.where(tokens < 128, lut_hit, True)
 
     def upper(self, tokens: np.ndarray) -> np.ndarray:
+        """Uppercase per the index's mapping.
+
+        Narrow: C ``toupper`` on bytes = ASCII a-z only (the reference
+        casts through unsigned char, nGramSearch.h:72-77).  Wide "c"
+        mode: C-locale ``towupper`` = ASCII a-z only too (the reference
+        DLL never calls setlocale, nGramSearch.h:83-87).  Wide "simple"
+        mode (default): Unicode simple uppercase for every codepoint -
+        single-codepoint mappings only, so one-to-many expansions
+        (ß -> SS, ligatures) keep the original codepoint, exactly like
+        a locale-aware towupper.
+        """
         out = self.upper_lut[np.minimum(tokens, 255)].astype(tokens.dtype)
         if not self.wide:
             return out
-        high_mask = tokens >= 256
+        # wide codepoints above the LUT bypass it (clamping would alias
+        # them onto U+00FF)
+        out = np.where(tokens > 255, tokens, out)
+        if self.wide_upper == "c":
+            return out
+        high_mask = tokens >= 128
         high = np.unique(tokens[high_mask])
         if high.size:
             for cp in high.tolist():

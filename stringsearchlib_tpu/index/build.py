@@ -537,7 +537,10 @@ class HostIndex:
         """Replace the valid-char set (dllmain.cpp:142-151).  Affects query
         normalization and the exact-match key comparison; the gram index is
         immutable (same as the reference, which never re-shingles)."""
-        self.tables = textlib.TextTables(chars, wide=self.config.wide)
+        self.tables = textlib.TextTables(
+            chars, wide=self.config.wide,
+            wide_upper=self.config.wide_upper,
+        )
         norm, norm_len = textlib.normalize_matrix(
             self.key_strings.tokens,
             self.key_strings.lengths,
@@ -976,7 +979,9 @@ def _build_numpy(
 ) -> HostIndex:
     """Vectorized numpy build (reference implementation and wide-string
     path; the native builder must match it exactly)."""
-    tables = textlib.TextTables(valid_chars, wide=config.wide)
+    tables = textlib.TextTables(
+        valid_chars, wide=config.wide, wide_upper=config.wide_upper,
+    )
     dev, up = _converters(to_device)
     empty = words is None or len(words) < 2  # size<2 guard, nGramSearch.hpp:122
     words = [] if empty else list(words)

@@ -56,6 +56,8 @@ def save_index(host: HostIndex, path: Union[str, os.PathLike, io.IOBase]) -> Non
         "short_pad": np.int64(cfg.short_pad),
         "long_pad": np.int64(cfg.long_pad),
         "query_pad": np.int64(cfg.query_pad),
+        # 0 = "simple" (default), 1 = "c" (ASCII-only towupper parity)
+        "wide_upper_c": np.int64(int(cfg.wide_upper == "c")),
         "valid_chars": np.frombuffer(host.tables.valid_chars, dtype=np.uint8),
         "n_terms": np.int64(host.n_terms),
         "max_term_len": np.int64(host.max_term_len),
@@ -98,9 +100,16 @@ def load_index(path: Union[str, os.PathLike, io.IOBase]) -> HostIndex:
             short_pad=int(z["short_pad"]),
             long_pad=int(z["long_pad"]),
             query_pad=int(z["query_pad"]),
+            wide_upper=(
+                "c"
+                if "wide_upper_c" in z.files and int(z["wide_upper_c"])
+                else "simple"
+            ),
         )
         valid_chars = z["valid_chars"].tobytes()
-        tables = textlib.TextTables(valid_chars, wide=cfg.wide)
+        tables = textlib.TextTables(
+            valid_chars, wide=cfg.wide, wide_upper=cfg.wide_upper
+        )
 
         def _tok(arr):
             # byte tokens stay uint8 on device (see build._upload_tokens);

@@ -102,7 +102,34 @@ def topk_chunked(u, k, chunk: int = _TOPK_CHUNK):
     return v2, jnp.take_along_axis(flat_i, sel, axis=-1)
 
 
-def _select_candidates(u_all, n_pass, *, n_cand, block_sel):
+def topk_guarded(u, k, *, approx: bool):
+    """Top-k over the last axis with a sound per-row miss indicator.
+
+    ``approx=False``: exact chunked top-k, ``miss`` all-False.
+
+    ``approx=True``: ``jax.lax.approx_max_k`` (TPU PartialReduce path,
+    measured 1.5-2.4x faster than exact top-k at selection shapes) plus a
+    soundness check: let m = the k-th returned value.  If the number of
+    lanes STRICTLY above m equals the number of returned values strictly
+    above m, then every lane > m was selected, so m is a sound upper
+    bound on every unselected lane (ties at m may be unselected but never
+    exceed m).  Otherwise ``miss`` is True and the caller must treat the
+    unselected bound as +inf (guard failure -> exact retry).  Lanes tied
+    at m dominate the quantized score surface, and approx_max_k's rare
+    misses land in those tie classes, so the check passes for almost all
+    rows (measured on the 10M corpus: see docs/PERF.md round 3).
+    """
+    if not approx:
+        v, i = topk_chunked(u, k)
+        return v, i, jnp.zeros(u.shape[:-1], bool)
+    v, i = jax.lax.approx_max_k(u, k, recall_target=0.95)
+    m = v[..., -1:]
+    n_gt = jnp.sum((u > m).astype(jnp.int32), axis=-1)
+    s_gt = jnp.sum((v > m).astype(jnp.int32), axis=-1)
+    return v, i, n_gt != s_gt
+
+
+def _select_candidates(u_all, n_pass, *, n_cand, block_sel, approx=False):
     """Top-``n_cand`` lanes of ``u_all`` by upper bound.
 
     Returns ``(ub, sel, u_c, covered)``: selected bounds and lane indices,
@@ -126,10 +153,13 @@ def _select_candidates(u_all, n_pass, *, n_cand, block_sel):
     scores (s = hits/n_qgrams takes ~20 discrete values) and every chunk
     pays the escalation retry.
     """
+    inf = np.float32(np.inf)
     if not block_sel:
-        ub, sel = topk_chunked(u_all, n_cand)
-        u_c = jnp.where(n_pass > n_cand, ub[-1], _NEG_INF)
-        return ub, sel, u_c, n_pass <= n_cand
+        ub, sel, miss = topk_guarded(u_all, n_cand, approx=approx)
+        u_c = jnp.where(
+            miss, inf, jnp.where(n_pass > n_cand, ub[-1], _NEG_INF)
+        )
+        return ub, sel, u_c, (n_pass <= n_cand) & ~miss
 
     n = u_all.shape[0]
     nb = -(-n // _BLK)
@@ -138,28 +168,34 @@ def _select_candidates(u_all, n_pass, *, n_cand, block_sel):
     ).reshape(nb, _BLK)
     bmax = up.max(axis=1)
     kb = min(n_cand, nb)
-    bvals, bsel = topk_chunked(bmax, kb)
+    bvals, bsel, bmiss = topk_guarded(bmax, kb, approx=approx)
     u2 = up[jnp.clip(bsel, 0, nb - 1)].reshape(-1)
     # a kept entry with value -inf can be a CLAMPED pad index (chunked
     # top_k pads its lane space) whose gather read a real block's lanes;
     # mask those lanes so a term is never selected under a foreign id
     u2 = jnp.where(jnp.repeat(bvals > _NEG_INF, _BLK), u2, _NEG_INF)
-    ub, ls = topk_chunked(u2, min(n_cand, u2.shape[0]))
+    ub, ls, lmiss = topk_guarded(
+        u2, min(n_cand, u2.shape[0]), approx=approx
+    )
     sel = bsel[jnp.clip(ls // _BLK, 0, kb - 1)] * _BLK + (ls % _BLK)
 
     nb_nonempty = jnp.sum((bmax > _NEG_INF).astype(jnp.int32))
-    blocks_cov = nb_nonempty <= kb
+    blocks_cov = (nb_nonempty <= kb) & ~bmiss
     n_in = jnp.sum((u2 > _NEG_INF).astype(jnp.int32))
-    sel_cov = n_in <= n_cand
-    u_b = jnp.where(blocks_cov, _NEG_INF, bvals[-1])
-    u_c = jnp.maximum(jnp.where(sel_cov, _NEG_INF, ub[-1]), u_b)
+    sel_cov = (n_in <= n_cand) & ~lmiss
+    u_b = jnp.where(
+        blocks_cov, _NEG_INF, jnp.where(bmiss, inf, bvals[-1])
+    )
+    u_c = jnp.maximum(
+        jnp.where(sel_cov, _NEG_INF, jnp.where(lmiss, inf, ub[-1])), u_b
+    )
     return ub, sel, u_c, blocks_cov & sel_cov
 
 
 def _finish_candidates(
     di, pt, xt, u_all, s_all, gid_all, n_pass, term_score, promo_pack,
     limit, threshold, *, n_cand, n_edge, top_k, block_sel=False,
-    with_bound=False,
+    with_bound=False, approx=False,
 ):
     """From per-lane upper bounds/scores to the final ranked slice.
 
@@ -168,7 +204,7 @@ def _finish_candidates(
     evaluates arbitrary global term ids for the promotion keys' edges.
     """
     ub, sel, u_c, covered = _select_candidates(
-        u_all, n_pass, n_cand=n_cand, block_sel=block_sel
+        u_all, n_pass, n_cand=n_cand, block_sel=block_sel, approx=approx
     )
     sel_valid = ub > _NEG_INF
     sel_c = jnp.clip(sel, 0, gid_all.shape[0] - 1)
@@ -385,6 +421,7 @@ def candidates_matmul_impl(
     top_k: int,
     block_sel: bool = False,
     with_bound: bool = False,
+    approx: bool = False,
 ):
     ts, tl = di.n_short, di.n_long
     compute_short = compute_short and ts > 0
@@ -412,14 +449,14 @@ def candidates_matmul_impl(
         promo_terms, promo_weights, limits, threshold,
         compute_short=compute_short, n_cand=n_cand,
         n_edge=n_edge, top_k=top_k,
-        block_sel=block_sel, with_bound=with_bound,
+        block_sel=block_sel, with_bound=with_bound, approx=approx,
     )
 
 
 def _dense_hits_finish(
     di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
     promo_terms, promo_weights, limits, threshold, *, compute_short,
-    n_cand, n_edge, top_k, block_sel, with_bound,
+    n_cand, n_edge, top_k, block_sel, with_bound, approx=False,
 ):
     """Shared back half for front ends that produce a dense (B, Tl[_pad])
     EXACT hit-count matrix (MXU matmul / bit-packed bitmap): per-term
@@ -479,7 +516,7 @@ def _dense_hits_finish(
             di, pt, xt, u_all, s_all, gid_all, n_pass, term_score,
             (promo, p_t, p_w), limit, threshold, n_cand=n_cand,
             n_edge=n_edge, top_k=top_k, block_sel=block_sel,
-            with_bound=with_bound,
+            with_bound=with_bound, approx=approx,
         )
 
     return jax.vmap(one)(
@@ -492,7 +529,7 @@ candidates_matmul = functools.partial(
     jax.jit,
     static_argnames=(
         "compute_short", "n_cand", "n_edge", "top_k",
-        "block_sel", "with_bound",
+        "block_sel", "with_bound", "approx",
     ),
 )(candidates_matmul_impl)
 
@@ -535,7 +572,7 @@ def block_hmax(hits, nblk, blk):
 def _blockmax_finish(
     di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
     promo_terms, promo_weights, limits, threshold, *, compute_short,
-    n_cand, n_edge, top_k, with_bound, hmax=None, blk=_BLK,
+    n_cand, n_edge, top_k, with_bound, hmax=None, blk=_BLK, approx=False,
 ):
     """Back half for HUGE dense hit matrices: never materializes a
     (B, Tl) f32 bound vector (at 10M terms that alone is ~40 B/query/term
@@ -572,9 +609,12 @@ def _blockmax_finish(
     kb = min(n_cand, nblk)  # full n_cand depth: see _select_candidates on
     # why a shallower first level loses to guard-failure escalations
     nb_nonempty = jnp.sum((bmax > _NEG_INF).astype(jnp.int32), axis=1)
-    bvals, bsel = topk_chunked(bmax, kb)
-    blocks_cov = nb_nonempty <= kb
-    u_b = jnp.where(blocks_cov, _NEG_INF, bvals[:, -1])
+    bvals, bsel, bmiss = topk_guarded(bmax, kb, approx=approx)
+    blocks_cov = (nb_nonempty <= kb) & ~bmiss
+    u_b = jnp.where(
+        blocks_cov, _NEG_INF,
+        jnp.where(bmiss, np.float32(np.inf), bvals[:, -1]),
+    )
     bsel_c = jnp.clip(bsel, 0, nblk - 1)
     hb = jnp.take_along_axis(h3, bsel_c[:, :, None], axis=1)  # (b,kb,blk)
     wb = wpad.reshape(nblk, blk)[bsel_c]
@@ -628,14 +668,22 @@ def _blockmax_finish(
                 s, ok = s_at(p_t - ts)
                 return s, (p_t >= ts) & ok
 
-        ub, ls = topk_chunked(u_cat, min(n_cand, u_cat.shape[0]))
+        ub, ls, lmiss = topk_guarded(
+            u_cat, min(n_cand, u_cat.shape[0]), approx=approx
+        )
         sel_valid = ub > _NEG_INF
         lsc = jnp.clip(ls, 0, gid_cat.shape[0] - 1)
         t_sel = gid_cat[lsc]
         s_sel = s_cat[lsc]
         n_in = jnp.sum((u_cat > _NEG_INF).astype(jnp.int32))
-        sel_cov = n_in <= ub.shape[0]
-        u_c = jnp.maximum(jnp.where(sel_cov, _NEG_INF, ub[-1]), u_br)
+        sel_cov = (n_in <= ub.shape[0]) & ~lmiss
+        u_c = jnp.maximum(
+            jnp.where(
+                sel_cov, _NEG_INF,
+                jnp.where(lmiss, np.float32(np.inf), ub[-1]),
+            ),
+            u_br,
+        )
         covered = bcov & sel_cov
         return _finish_selected(
             di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score,
@@ -677,6 +725,7 @@ def candidates_bitmap_impl(
     top_k: int,
     block_sel: bool = False,
     with_bound: bool = False,
+    approx: bool = False,
 ):
     """EXACT hit counts from the bit-packed incidence: for each query gram
     slot, gather its (Tl_pad/8,) row, expand bits, accumulate int8 counts
@@ -713,7 +762,7 @@ def candidates_bitmap_impl(
         promo_terms, promo_weights, limits, threshold,
         compute_short=compute_short, n_cand=n_cand,
         n_edge=n_edge, top_k=top_k,
-        block_sel=block_sel, with_bound=with_bound,
+        block_sel=block_sel, with_bound=with_bound, approx=approx,
     )
 
 
@@ -721,7 +770,7 @@ candidates_bitmap = functools.partial(
     jax.jit,
     static_argnames=(
         "compute_short", "n_cand", "n_edge", "top_k",
-        "block_sel", "with_bound",
+        "block_sel", "with_bound", "approx",
     ),
 )(candidates_bitmap_impl)
 
@@ -751,6 +800,7 @@ def candidates_bitmap_mxu_impl(
     interpret: bool = False,
     fused_bmax: bool = False,
     bmax_blk: int = _BLK,
+    approx: bool = False,
 ):
     """EXACT hit counts via the Pallas unpack-matmul kernel
     (ops.bitmap_matmul): the packed incidence streams through VMEM once
@@ -795,6 +845,7 @@ def candidates_bitmap_mxu_impl(
             compute_short=compute_short,
             n_cand=n_cand, n_edge=n_edge,
             top_k=top_k, with_bound=with_bound, hmax=hmax, blk=blk,
+            approx=approx,
         )
     hits = bitmap_hits(qcnt, bitmap, interpret=interpret, int8_dots=True)
     return _dense_hits_finish(
@@ -802,7 +853,7 @@ def candidates_bitmap_mxu_impl(
         promo_terms, promo_weights, limits, threshold,
         compute_short=compute_short, n_cand=n_cand,
         n_edge=n_edge, top_k=top_k,
-        block_sel=False, with_bound=with_bound,
+        block_sel=False, with_bound=with_bound, approx=approx,
     )
 
 
@@ -811,6 +862,7 @@ candidates_bitmap_mxu = functools.partial(
     static_argnames=(
         "compute_short", "n_cand", "n_edge", "top_k",
         "block_sel", "with_bound", "interpret", "fused_bmax", "bmax_blk",
+        "approx",
     ),
 )(candidates_bitmap_mxu_impl)
 
@@ -842,6 +894,7 @@ def candidates_runs_impl(
     top_k: int,
     block_sel: bool = False,
     with_bound: bool = False,
+    approx: bool = False,
 ):
     ts, tl = di.n_short, di.n_long
     compute_short = compute_short and ts > 0
@@ -943,7 +996,7 @@ def candidates_runs_impl(
             di, pt, xt, u_all, s_all, gid_all, n_pass, term_score,
             (promo, p_t, p_w), limit, threshold, n_cand=n_cand,
             n_edge=n_edge, top_k=top_k, block_sel=block_sel,
-            with_bound=with_bound,
+            with_bound=with_bound, approx=approx,
         )
 
     # vmap, not lax.map: a serial device loop pays per-op latency per query
@@ -960,7 +1013,7 @@ candidates_runs = functools.partial(
     jax.jit,
     static_argnames=(
         "compute_short", "s_cap", "n_cand", "n_edge", "top_k",
-        "block_sel", "with_bound",
+        "block_sel", "with_bound", "approx",
     ),
 )(candidates_runs_impl)
 

@@ -774,6 +774,20 @@ class SearchEngine:
     BITMAP_FUSED_BMAX = False
     BITMAP_BMAX_BLK = 128
     BITMAP_GTILE_OK = True
+    # the fused epilogue replaces a separate XLA blockmax that re-reads
+    # the whole (B, Tl) hits from HBM; measured round 3 on v5e it wins
+    # once the long tier is in the millions (10M: 92.7 ms fused vs
+    # 71.6 + 41 ms split) and loses below (400k: wash).  BITMAP_FUSED_BMAX
+    # force-enables it everywhere.
+    BITMAP_FUSED_MIN_TLP = 4 << 20
+    # first candidate pass MAY select with jax.lax.approx_max_k + a sound
+    # miss check (candidates.topk_guarded): the raw call is 1.5-2.4x
+    # faster than exact chunked top-k on v5e, but measured on the real
+    # 10M corpus its misses hit needed candidates on 479/512 rows (they
+    # are uniform over the top-k, not confined to tie classes), so every
+    # row escalated and e2e LOST 2x.  Default stays False; the machinery
+    # remains for corpora with flatter bound surfaces.
+    APPROX_SEL = False
 
     @classmethod
     def _load_hw_switches(cls) -> None:
@@ -808,11 +822,15 @@ class SearchEngine:
             items, threshold, limit, batch_bucket, qp, out,
             self.CAND_TERMS_FAST,
         )
+        n_retry_fast = len(retry)
         if retry and n_used < min(self.CAND_TERMS, n_avail):
             retry, _, _ = self._cand_pass(
                 retry, threshold, limit, batch_bucket, qp, out,
                 self.CAND_TERMS,
             )
+            self.last_routing["retry_full"] = len(retry)
+        self.last_routing["retry_fast"] = n_retry_fast
+        self.last_routing["n_items"] = len(items)
         return retry
 
     def _cand_pass(self, items, threshold, limit, batch_bucket, qp, out, cand_cap):
@@ -902,14 +920,15 @@ class SearchEngine:
                 and fits_vmem(16, gp_rows)
                 and (gp_rows <= SBLK_MAX or self.BITMAP_GTILE_OK)
             )
+            bm_fused = bm_kernel and (
+                self.BITMAP_FUSED_BMAX or tlp >= self.BITMAP_FUSED_MIN_TLP
+            )
             if bm_kernel:
                 # fused epilogue skips the separate (B, Tl) blockmax temp;
                 # the rescore buffers hold kb x blk lanes (~16 B/lane)
-                blk_eff = (
-                    _BLK if self.BITMAP_FUSED_BMAX else self.BITMAP_BMAX_BLK
-                )
+                blk_eff = _BLK if bm_fused else self.BITMAP_BMAX_BLK
                 per_q = (
-                    (tlp if self.BITMAP_FUSED_BMAX else 2 * tlp)
+                    (tlp if bm_fused else 2 * tlp)
                     + 16 * cand_cap * blk_eff
                     + 24 * n_edge
                     + (48 * ts if compute_short else 0)
@@ -940,6 +959,9 @@ class SearchEngine:
                 + (1 << 16)
             )
         n_cand = min(cand_cap, max(_next_pow2(n_lanes, 16), 16), n_lanes)
+        # approximate selection only on the FIRST pass: escalation retries
+        # must be exact so approx misses terminate in one extra pass
+        approx_sel = bool(self.APPROX_SEL) and cand_cap == self.CAND_TERMS_FAST
         # two-phase block-pruned selection only pays off when the lane
         # space dwarfs the kept blocks (n_cand blocks x 128 lanes)
         block_sel = n_lanes >= 4 * n_cand * _BLK
@@ -954,6 +976,35 @@ class SearchEngine:
         step = 8
         while step * 2 <= min(cap, batch_bucket):
             step *= 2
+
+        # resolved routing, recorded for the bench artifact: round 2 lost
+        # 20x to a silent kernel->scan fallback that no artifact showed
+        if gm is not None:
+            variant = "matmul"
+        elif tiny_runs:
+            variant = "tiny_runs"
+        elif bm is not None:
+            variant = "bitmap_kernel" if bm_kernel else "bitmap_scan"
+        elif sk is not None:
+            variant = "sketch"
+        else:
+            variant = "runs"
+        self.last_routing = {
+            "variant": variant,
+            "step": step,
+            "n_cand": n_cand,
+            "block_sel": bool(block_sel),
+            "approx_sel": approx_sel,
+        }
+        if variant.startswith("bitmap"):
+            from ..ops.bitmap_matmul import SBLK_MAX as _SB
+
+            self.last_routing.update(
+                gp_rows=int(bm[0].shape[0]),
+                gtile=int(bm[0].shape[0]) > _SB,
+                fused_bmax=bool(bm_kernel and bm_fused),
+                bmax_blk=int(self.BITMAP_BMAX_BLK),
+            )
 
         # dispatch every chunk before fetching any result: jax dispatch is
         # async, so later chunks' compute overlaps earlier chunks' transfers
@@ -984,15 +1035,13 @@ class SearchEngine:
                     n_edge=n_edge,
                     top_k=top_k,
                     block_sel=block_sel,
+                    approx=approx_sel,
                 )
             elif bm is not None:
                 fe = candidates_bitmap_mxu if bm_kernel else candidates_bitmap
                 kw = {}
                 if bm_kernel:
-                    # fused VMEM blockmax epilogue: interpret-validated;
-                    # flip the class default once Mosaic-compiled on
-                    # hardware (tools/probe_10m_stages.py A/Bs it)
-                    kw["fused_bmax"] = self.BITMAP_FUSED_BMAX
+                    kw["fused_bmax"] = bm_fused
                     kw["bmax_blk"] = self.BITMAP_BMAX_BLK
                 res = fe(
                     di,
@@ -1014,6 +1063,7 @@ class SearchEngine:
                     n_edge=n_edge,
                     top_k=top_k,
                     block_sel=block_sel,
+                    approx=approx_sel,
                     **kw,
                 )
             elif sk is not None:
@@ -1070,6 +1120,7 @@ class SearchEngine:
                     n_edge=n_edge,
                     top_k=top_k,
                     block_sel=block_sel,
+                    approx=approx_sel,
                 )
             pending.append((lo, hi, res))
 

@@ -50,9 +50,11 @@ class OracleIndex:
         gram_size: int = 3,
         wide: bool = False,
         valid_chars: bytes = DEFAULT_VALID_CHARS,
+        wide_upper: str = "simple",
     ):
         self.gram_size = gram_size
         self.wide = wide
+        self.wide_upper = wide_upper
         self.valid_chars = set(bytes(valid_chars).decode("latin-1"))
         self._space_chars = _WIDE_SPACE_CHARS if wide else _NARROW_SPACE_CHARS
 
@@ -92,12 +94,16 @@ class OracleIndex:
         return "".join(out)
 
     def to_upper(self, s: str) -> str:
+        """toupper/towupper (nGramSearch.h:72-87).  Narrow and wide "c"
+        mode uppercase ASCII only (the reference never calls setlocale);
+        wide "simple" mode applies Unicode simple uppercase (single
+        codepoint only - ß / ligatures stay).  Mirrors TextTables.upper."""
         out = []
         for ch in s:
             cp = ord(ch)
             if ord("a") <= cp <= ord("z"):
                 out.append(chr(cp - 32))
-            elif self.wide and cp >= 256:
+            elif self.wide and self.wide_upper == "simple" and cp >= 128:
                 up = ch.upper()
                 out.append(up if len(up) == 1 else ch)
             else:

@@ -73,3 +73,47 @@ def test_upper_only_ascii_lowercase():
     assert text.decode_row(out[0], 5, False) == "ABZ9."
     # latin-1 e-acute is untouched by C toupper in the C locale
     assert text.decode_row(out[1], 1, False) == "\xe9"
+
+
+def _upper_wide(s, mode):
+    tables = text.TextTables(wide=True, wide_upper=mode)
+    tokens, lengths = text.encode_batch([s], wide=True)
+    out = text.upper_matrix(tokens, lengths, tables)
+    return text.decode_row(out[0], int(lengths[0]), True)
+
+
+def test_wide_upper_divergent_codepoints():
+    """The towupper parity decision (IndexConfig.wide_upper), pinned on
+    exactly the codepoints where C towupper / Unicode full / Unicode
+    simple uppercase disagree (reference: nGramSearch.h:83-87)."""
+    cases = [
+        # (input, simple-mode expected, note)
+        ("\xe9", "\xc9", "e-acute -> E-acute (latin-1 range)"),
+        ("\xff", "Ÿ", "y-diaeresis -> U+0178 (maps above 256)"),
+        ("\xdf", "\xdf", "sharp s: full upper SS is 2 cps -> unchanged"),
+        ("ı", "I", "dotless i -> ASCII I"),
+        ("İ", "İ", "dotted capital I already uppercase"),
+        ("ﬁ", "ﬁ", "fi ligature: full upper FI -> unchanged"),
+        ("\xb5", "Μ", "micro sign -> greek capital mu"),
+        ("ǆ", "Ǆ", "dz-caron digraph -> DZ-caron (simple map)"),
+    ]
+    for s, want, note in cases:
+        assert _upper_wide(s, "simple") == want, note
+        # "c" mode: C-locale towupper touches ASCII only
+        assert _upper_wide(s, "c") == s, note
+    # both modes agree on ASCII
+    assert _upper_wide("abz", "simple") == "ABZ"
+    assert _upper_wide("abz", "c") == "ABZ"
+
+
+def test_wide_upper_modes_match_oracle():
+    cases = ["Stra\xdfe", "ırmak", "caf\xe9 \xff", "ﬁne"]
+    for mode in ("simple", "c"):
+        oracle = OracleIndex(["a", "b"], row_size=1, wide=True,
+                             wide_upper=mode)
+        tables = text.TextTables(wide=True, wide_upper=mode)
+        tokens, lengths = text.encode_batch(cases, wide=True)
+        out, out_len = text.normalize_matrix(tokens, lengths, tables)
+        got = [text.decode_row(out[i], int(out_len[i]), True)
+               for i in range(len(cases))]
+        assert got == [oracle.normalize(c) for c in cases], mode

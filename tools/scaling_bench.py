@@ -61,14 +61,20 @@ def main() -> None:
     ref = SearchEngine(build_index(words, 1, None, IndexConfig()))
     want = ref.search_batch(queries, 0.3, 10)
 
-    out = {"n_keys": n_keys, "n_queries": n_queries, "configs": {}}
+    out = {
+        "n_keys": n_keys,
+        "n_queries": n_queries,
+        "virtual_mesh": not int(os.environ.get("SCALE_REAL", 0)),
+        "configs": {},
+    }
     base = None
     n_dev = len(jax.devices())
     sizes = [s for s in (1, 2, 4, 8) if s <= n_dev]
+    top_k = 10
     for s in sizes:
         mesh = make_mesh(s)
         eng = ShardedEngine(shard_index(host, s), mesh)
-        got = eng.search_batch(queries, 0.3, 10)  # warm + parity
+        got = eng.search_batch(queries, 0.3, top_k)  # warm + parity
         match = sum(
             sorted(zip([round(float(x), 5) for x in a[1]],
                        [len(k) for k in a[0]]))
@@ -79,18 +85,32 @@ def main() -> None:
         best = 1e9
         for _ in range(reps):
             t0 = time.perf_counter()
-            eng.search_batch(queries, 0.3, 10)
+            eng.search_batch(queries, 0.3, top_k)
             best = min(best, time.perf_counter() - t0)
         qps = n_queries / best
         if base is None:
             base = qps
+        # ICI traffic model for the term-sharded DP path: each query
+        # all_gathers S local top-k lists of (key i32, score f32,
+        # len i32) plus a per-shard (count i32, bound f32).  This is the
+        # ONLY cross-chip traffic per batch (the index is resident), so
+        # collective bytes per query bound the ICI cost on real hardware:
+        # at S=8, k=100 that is ~9.7 KB/query vs ~50 GB/s/link ICI ->
+        # ~0.2 us, never the bottleneck for DP.
+        k_pad = max(16, top_k)
+        coll = s * (k_pad * 12 + 8)
         out["configs"][str(s)] = {
             "qps": round(qps, 1),
             "parity": f"{match}/{len(queries)}",
             "efficiency_vs_1shard": round(qps / (base * s), 3),
+            "collective_bytes_per_query": coll,
         }
         assert match == len(queries), f"parity failure at {s} shards"
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    art = os.environ.get("SCALE_OUT", "/root/repo/SCALING.json")
+    with open(art, "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":
