@@ -95,19 +95,32 @@ def fits_vmem(b: int, g_pad: int) -> bool:
     return vmem_bytes(b, g_pad) <= _VMEM_BUDGET
 
 
-def _make_kernel(int8_dots: bool, gtiles: int):
-    dot_t = jnp.int8 if int8_dots else jnp.bfloat16
-    acc_t = jnp.int32 if int8_dots else jnp.float32
+def _make_kernel(int8_dots, gtiles: int):
+    # int8_dots: False = bf16 dots, True = int8, "int4" = s4 x s4 -> s32
+    # (v5e runs int4 MACs at 2x the int8 rate; exact while query gram
+    # multiplicities stay <= 7, which the engine checks per batch)
+    if int8_dots == "int4":
+        dot_t, acc_t = jnp.int4, jnp.int32
+    elif int8_dots:
+        dot_t, acc_t = jnp.int8, jnp.int32
+    else:
+        dot_t, acc_t = jnp.bfloat16, jnp.float32
 
     def kernel(q_ref, bm_ref, out_ref):
         q = q_ref[:]  # (B, Gblk)
+        if dot_t == jnp.int4:
+            q = q.astype(jnp.int4)
         t = bm_ref[:]  # (Gblk, BLKB) int8 (packed bits)
         for p in range(8):
             # sign bit via and+ne: Mosaic lacks signed cmpi on i8
             bit = (t & np.int8(-128 if p == 7 else 1 << p)) != 0
-            acc = jnp.dot(
-                q, bit.astype(dot_t), preferred_element_type=acc_t
-            )
+            if dot_t == jnp.int4:
+                # i1 -> i4 extension fails to legalize (arith.cmpi);
+                # extend through i8 first
+                op = bit.astype(jnp.int8).astype(jnp.int4)
+            else:
+                op = bit.astype(dot_t)
+            acc = jnp.dot(q, op, preferred_element_type=acc_t)
             sl = slice(p * BLKB, (p + 1) * BLKB)
             if gtiles == 1:
                 out_ref[:, sl] = acc.astype(jnp.int8)

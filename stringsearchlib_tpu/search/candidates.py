@@ -114,10 +114,13 @@ def topk_guarded(u, k, *, approx: bool):
     above m, then every lane > m was selected, so m is a sound upper
     bound on every unselected lane (ties at m may be unselected but never
     exceed m).  Otherwise ``miss`` is True and the caller must treat the
-    unselected bound as +inf (guard failure -> exact retry).  Lanes tied
-    at m dominate the quantized score surface, and approx_max_k's rare
-    misses land in those tie classes, so the check passes for almost all
-    rows (measured on the 10M corpus: see docs/PERF.md round 3).
+    unselected bound as +inf (guard failure -> exact retry).
+
+    Measured round 3 on the 10M product corpus: approx misses are spread
+    UNIFORMLY over the top-k (not confined to tie classes at m), so the
+    check fired on 479/512 real rows and every one escalated - the
+    engine therefore defaults APPROX_SEL off.  Kept for corpora whose
+    bound surfaces are flat enough that misses stay inside tie classes.
     """
     if not approx:
         v, i = topk_chunked(u, k)
@@ -573,6 +576,7 @@ def _blockmax_finish(
     di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
     promo_terms, promo_weights, limits, threshold, *, compute_short,
     n_cand, n_edge, top_k, with_bound, hmax=None, blk=_BLK, approx=False,
+    kb_lanes=0,
 ):
     """Back half for HUGE dense hit matrices: never materializes a
     (B, Tl) f32 bound vector (at 10M terms that alone is ~40 B/query/term
@@ -606,8 +610,12 @@ def _blockmax_finish(
         wblk[None, :] >= 0, wblk[None, :] * smax, wblk[None, :] * threshold
     )
     bmax = jnp.where(nonempty, ub_blk, _NEG_INF)  # (b, nblk) upper bound
-    kb = min(n_cand, nblk)  # full n_cand depth: see _select_candidates on
-    # why a shallower first level loses to guard-failure escalations
+    # kept-block budget: legacy depth is n_cand BLOCKS (n_cand * blk kept
+    # lanes); kb_lanes > 0 fixes the kept-LANE budget instead, so the
+    # rescore/lane-topk width no longer scales with the block width.
+    # Shallower budgets trade lane-topk cost against guard-failure
+    # escalations (see _select_candidates on why bounds must stay tight).
+    kb = min(max(kb_lanes // blk, 16) if kb_lanes else n_cand, nblk)
     nb_nonempty = jnp.sum((bmax > _NEG_INF).astype(jnp.int32), axis=1)
     bvals, bsel, bmiss = topk_guarded(bmax, kb, approx=approx)
     blocks_cov = (nb_nonempty <= kb) & ~bmiss
@@ -801,6 +809,7 @@ def candidates_bitmap_mxu_impl(
     fused_bmax: bool = False,
     bmax_blk: int = _BLK,
     approx: bool = False,
+    kb_lanes: int = 0,
 ):
     """EXACT hit counts via the Pallas unpack-matmul kernel
     (ops.bitmap_matmul): the packed incidence streams through VMEM once
@@ -845,7 +854,7 @@ def candidates_bitmap_mxu_impl(
             compute_short=compute_short,
             n_cand=n_cand, n_edge=n_edge,
             top_k=top_k, with_bound=with_bound, hmax=hmax, blk=blk,
-            approx=approx,
+            approx=approx, kb_lanes=kb_lanes,
         )
     hits = bitmap_hits(qcnt, bitmap, interpret=interpret, int8_dots=True)
     return _dense_hits_finish(
@@ -862,7 +871,7 @@ candidates_bitmap_mxu = functools.partial(
     static_argnames=(
         "compute_short", "n_cand", "n_edge", "top_k",
         "block_sel", "with_bound", "interpret", "fused_bmax", "bmax_blk",
-        "approx",
+        "approx", "kb_lanes",
     ),
 )(candidates_bitmap_mxu_impl)
 

@@ -35,6 +35,13 @@ from .overlap import gather_hits
 _NEG_INF = np.float32(-np.inf)
 
 
+@jax.jit
+def _gather_rows(planes, rows):
+    """Compact-table gather for gram-union row compaction (one per
+    batch; all of the batch's chunks reuse the result)."""
+    return jnp.take(planes, rows, axis=0)
+
+
 def _next_pow2(n: int, lo: int) -> int:
     v = lo
     while v < n:
@@ -662,6 +669,28 @@ class SearchEngine:
         ).sum(axis=1)
         return int(stot.max())
 
+    def _compact_gram_rows(self, slots: np.ndarray, gp_rows: int):
+        """Gram-union row compaction plan for one batch.
+
+        Returns (rows (gp_c,) int32 table-row gather list, remapped slot
+        matrix, gp_c) or None when the batch's gram union is too large a
+        fraction of the table for the gather to pay (the compact pass
+        costs ~3 reads/writes of gp_c rows vs 1 stream of gp_rows).
+        gp_c buckets to a power of two (>= 512) so kernel variants stay
+        few; pow2 >= 8192 is a GBLK multiple, satisfying g_padding."""
+        used = np.unique(slots[slots >= 0])
+        if used.size == 0:
+            return None
+        gp_c = _next_pow2(int(used.size), 512)
+        if 3 * gp_c >= gp_rows:
+            return None
+        rows = np.zeros(gp_c, np.int32)
+        rows[: used.size] = used
+        out = np.full(slots.shape, -1, np.int32)
+        mask = slots >= 0
+        out[mask] = np.searchsorted(used, slots[mask]).astype(np.int32)
+        return rows, out, gp_c
+
     def _promo_tables(self, promo_all: np.ndarray):
         """(b, PK, PE) promo edge term ids (-1 padded) and weights from the
         HOST key->edge CSR.
@@ -774,6 +803,17 @@ class SearchEngine:
     BITMAP_FUSED_BMAX = False
     BITMAP_BMAX_BLK = 128
     BITMAP_GTILE_OK = True
+    # kept-lane budget for the huge-tier blockmax finish (0 = legacy
+    # n_cand blocks x blk lanes); the rescore + lane-topk width
+    BITMAP_KB_LANES = 0
+    # gram-union row compaction: a batch's queries touch at most
+    # B x Qmax of the table's gram rows, so on gram-RICH tables (47k+
+    # rows) gathering just the union rows into a compact table cuts the
+    # kernel's MXU work AND its HBM stream by gp/gp_c.  The gather costs
+    # ~2 extra passes over the COMPACT table (read rows + write copy),
+    # so it pays only when 3 * gp_c < gp.  Exactness unchanged: grams
+    # outside the union have zero query multiplicity everywhere.
+    BITMAP_COMPACT_ROWS = True
     # the fused epilogue replaces a separate XLA blockmax that re-reads
     # the whole (B, Tl) hits from HBM; measured round 3 on v5e it wins
     # once the long tier is in the millions (10M: 92.7 ms fused vs
@@ -923,6 +963,13 @@ class SearchEngine:
             bm_fused = bm_kernel and (
                 self.BITMAP_FUSED_BMAX or tlp >= self.BITMAP_FUSED_MIN_TLP
             )
+            bm_rows = None
+            bm_slots = slots
+            gp_eff = gp_rows
+            if bm_kernel and self.BITMAP_COMPACT_ROWS:
+                comp = self._compact_gram_rows(slots, gp_rows)
+                if comp is not None:
+                    bm_rows, bm_slots, gp_eff = comp
             if bm_kernel:
                 # fused epilogue skips the separate (B, Tl) blockmax temp;
                 # the rescore buffers hold kb x blk lanes (~16 B/lane)
@@ -969,9 +1016,7 @@ class SearchEngine:
         if bm is not None and bm_kernel:
             from ..ops.bitmap_matmul import fits_vmem
 
-            while cap > 8 and not fits_vmem(
-                _next_pow2(cap, 8), int(bm[0].shape[0])
-            ):
+            while cap > 8 and not fits_vmem(_next_pow2(cap, 8), gp_eff):
                 cap //= 2
         step = 8
         while step * 2 <= min(cap, batch_bucket):
@@ -1001,10 +1046,17 @@ class SearchEngine:
 
             self.last_routing.update(
                 gp_rows=int(bm[0].shape[0]),
-                gtile=int(bm[0].shape[0]) > _SB,
+                gtile=gp_eff > _SB,
                 fused_bmax=bool(bm_kernel and bm_fused),
                 bmax_blk=int(self.BITMAP_BMAX_BLK),
+                compact_rows=(gp_eff if bm_rows is not None else 0),
             )
+
+        bm_table = None
+        if bm is not None:
+            bm_table = bm[0]
+            if bm_kernel and bm_rows is not None:
+                bm_table = _gather_rows(bm[0], jnp.asarray(bm_rows))
 
         # dispatch every chunk before fetching any result: jax dispatch is
         # async, so later chunks' compute overlaps earlier chunks' transfers
@@ -1043,14 +1095,15 @@ class SearchEngine:
                 if bm_kernel:
                     kw["fused_bmax"] = bm_fused
                     kw["bmax_blk"] = self.BITMAP_BMAX_BLK
+                    kw["kb_lanes"] = self.BITMAP_KB_LANES
                 res = fe(
                     di,
-                    bm[0],
+                    bm_table,
                     pt,
                     xt,
                     jnp.asarray(qtok[sl]),
                     jnp.asarray(qlens[sl]),
-                    jnp.asarray(slots[sl]),
+                    jnp.asarray(bm_slots[sl]),
                     jnp.asarray(nqg[sl]),
                     jnp.asarray(use_short[sl]),
                     jnp.asarray(promo_all[sl]),

@@ -261,3 +261,59 @@ def test_bitmap_kernel_gtiled_parity(monkeypatch):
         bm.bitmap_hits(q, planes, interpret=True, int8_dots=True)
     )
     np.testing.assert_array_equal(got8, want)
+
+
+def test_engine_compact_rows_parity(monkeypatch):
+    """Gram-union row compaction through the ENGINE (kernel forced via
+    interpret mode): results must match the dense path exactly, and the
+    routing record must show a compact table."""
+    import functools
+    import random as _random
+
+    import jax
+
+    from stringsearchlib_tpu.search import candidates as cmod
+    from stringsearchlib_tpu.search import engine as emod
+
+    rng = _random.Random(9)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(8, 16)))
+        for _ in range(4000)
+    ]  # gram-rich: thousands of distinct trigrams
+    host = build_index(words, 1, None, IndexConfig())
+    eng = SearchEngine(host)
+    eng.GM_BUDGET = 0
+    monkeypatch.setattr(
+        cmod, "candidates_bitmap_mxu",
+        functools.partial(cmod.candidates_bitmap_mxu, interpret=True),
+    )
+    monkeypatch.setattr(emod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(eng, "CAND_MIN_TERMS", 100)
+    queries = [w[:-1] + "x" for w in words[:24]]
+    got = eng.search_batch(queries, 0.25, 10, mode="candidates")
+    assert eng.last_routing["variant"] == "bitmap_kernel"
+    assert eng.last_routing["compact_rows"] > 0
+    monkeypatch.setattr(emod.jax, "default_backend", jax.default_backend)
+    want = eng.search_batch(queries, 0.25, 10, mode="dense")
+    for q, g, w in zip(queries, got, want):
+        gs = sorted((round(s, 5), len(k)) for k, s in zip(*g))
+        ws = sorted((round(s, 5), len(k)) for k, s in zip(*w))
+        assert gs == ws, (q, g, w)
+
+
+def test_compact_gram_rows_remap():
+    host = build_index(_corpus(300), 1, None, IndexConfig())
+    eng = SearchEngine(host)
+    slots = np.array([[5, 900, -1, 5], [70, -1, 900, 2]], np.int32)
+    rows, remapped, gp_c = eng._compact_gram_rows(slots, 1 << 20)
+    assert gp_c == 512 and rows.shape == (512,)
+    used = sorted({5, 900, 70, 2})
+    assert rows[:4].tolist() == used
+    for (i, j), v in np.ndenumerate(slots):
+        if v < 0:
+            assert remapped[i, j] == -1
+        else:
+            assert rows[remapped[i, j]] == v
+    # too-large union fraction declines
+    assert eng._compact_gram_rows(slots, 1000) is None
