@@ -340,6 +340,68 @@ class HostIndex:
         self._bitmap_cache = (bm, tl_pad)
         return self._bitmap_cache
 
+    def bitmap_layout(self):
+        """(nb, tl_pad) of the packed-plane layout WITHOUT building the
+        table - the virtual per-batch compact build needs the shape even
+        when the full table exceeds every budget."""
+        from ..ops.bitmap_matmul import TILE_LANES
+
+        tl = int(self.device.long_lengths.shape[0])
+        tl_pad = -(-max(tl, 1) // TILE_LANES) * TILE_LANES
+        return tl_pad // 8, tl_pad
+
+    def bitmap_rows_table(self, rows: np.ndarray, s_cap: int):
+        """VIRTUAL compact bitmap: (gp_c, nb) int8 packed planes for the
+        given global gram slots, scattered ON DEVICE from the resident
+        CSR per batch.  The full-table residency is gp * nb bytes (11.8 GB
+        at the 2M-term x 47k-gram 2D config - over every HBM budget), but
+        one batch's queries touch only their gram union, so this builds
+        just those rows (~2 GB) and throws them away after the batch.
+        One scatter-add; (gram, term) postings are unique so add == or.
+        ``s_cap``: pow2 bound on the selected rows' total postings."""
+        import jax
+
+        nb, _ = self.bitmap_layout()
+        gp_c = int(rows.shape[0])
+        assert gp_c * nb < 2**31, (gp_c, nb)  # flat index must fit int32
+
+        @functools.partial(jax.jit, static_argnums=(3, 4))
+        def _build(gram_ptr, gram_terms, rows_d, gp_c, s_cap):
+            from ..ops.bitmap_matmul import plane_coords
+
+            g = gram_ptr.shape[0] - 1
+            p_total = max(gram_terms.shape[0], 1)
+            rc = jnp.clip(rows_d, 0, max(g - 1, 0))
+            # -1 pad rows expand no postings
+            lens = jnp.where(
+                rows_d >= 0, gram_ptr[rc + 1] - gram_ptr[rc], 0
+            )
+            ends = jnp.cumsum(lens)
+            pos = jnp.arange(s_cap, dtype=jnp.int32)
+            rank = jnp.clip(
+                jnp.searchsorted(ends, pos, side="right"), 0, gp_c - 1
+            ).astype(jnp.int32)
+            starts = ends - lens
+            src = gram_ptr[rc[rank]] + (pos - starts[rank])
+            valid = pos < ends[-1]
+            term = gram_terms[jnp.clip(src, 0, p_total - 1)]
+            col, bit = plane_coords(term)
+            flat = rank * np.int32(nb) + col
+            flat = jnp.where(valid, flat, np.int32(gp_c * nb))
+            val = (jnp.uint8(1) << bit.astype(jnp.uint8)).astype(jnp.uint8)
+            return (
+                jnp.zeros((gp_c * nb,), jnp.uint8)
+                .at[flat]
+                .add(val, mode="drop")
+                .view(jnp.int8)
+                .reshape(gp_c, nb)
+            )
+
+        return _build(
+            self.device.gram_ptr, self.device.gram_terms,
+            jnp.asarray(rows, dtype=jnp.int32), gp_c, int(s_cap),
+        )
+
     _sketch_cache: object = dataclasses.field(default=None, repr=False)
 
     def sketch_tables(self, budget_bytes: int = 6 << 30, max_tgw: int = 128):

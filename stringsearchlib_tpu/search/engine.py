@@ -691,6 +691,26 @@ class SearchEngine:
         out[mask] = np.searchsorted(used, slots[mask]).astype(np.int32)
         return rows, out, gp_c
 
+    def _virtual_bitmap_plan(self, slots: np.ndarray):
+        """Per-batch virtual-bitmap plan: (rows (gp_c,), remapped slots,
+        gp_c, build posting cap) or None when the union is too large for
+        VBITMAP_BUDGET / the int32 flat-scatter bound."""
+        used = np.unique(slots[slots >= 0])
+        if used.size == 0:
+            return None
+        nb, _ = self.host.bitmap_layout()
+        gp_c = _next_pow2(int(used.size), 512)
+        if gp_c * nb >= min(self.VBITMAP_BUDGET, 2**31 - 1):
+            return None
+        lens = self.host.host_posting_lens
+        s_build = _next_pow2(max(int(lens[used].sum()), 1), 1 << 16)
+        rows = np.full(gp_c, -1, np.int32)  # -1 pads expand no postings
+        rows[: used.size] = used
+        out = np.full(slots.shape, -1, np.int32)
+        mask = slots >= 0
+        out[mask] = np.searchsorted(used, slots[mask]).astype(np.int32)
+        return rows, out, gp_c, s_build
+
     def _promo_tables(self, promo_all: np.ndarray):
         """(b, PK, PE) promo edge term ids (-1 padded) and weights from the
         HOST key->edge CSR.
@@ -814,6 +834,14 @@ class SearchEngine:
     # so it pays only when 3 * gp_c < gp.  Exactness unchanged: grams
     # outside the union have zero query multiplicity everywhere.
     BITMAP_COMPACT_ROWS = True
+    # virtual per-batch compact bitmap (full table over budget): cap on
+    # the per-batch compact table bytes.  Default OFF: measured on the
+    # 2M-term x 47k-gram 2D config the per-batch CSR->bits scatter costs
+    # ~14 s (XLA scatter-add, ~8M postings into a 2 GB target) and e2e
+    # lands at 31 q/s vs the sketch's 62 - exact (0/32 mismatches) but
+    # not worth it until the build is a sort, not a scatter.
+    BITMAP_VIRTUAL = False
+    VBITMAP_BUDGET = 3 << 30
     # the fused epilogue replaces a separate XLA blockmax that re-reads
     # the whole (B, Tl) hits from HBM; measured round 3 on v5e it wins
     # once the long tier is in the millions (10M: 92.7 ms fused vs
@@ -930,6 +958,23 @@ class SearchEngine:
         bm = None
         if gm is None and not tiny_runs:
             bm = self.host.bitmap_tables(self.BITMAP_BUDGET)
+        # VIRTUAL bitmap: the full packed table exceeds every HBM budget
+        # (index2d: 11.8 GB) but one batch touches only its gram union,
+        # so build JUST those rows from the resident CSR, use the normal
+        # kernel path, and drop the table after the batch.  One device
+        # scatter per pass (~0.5-1 s at 10M postings), amortized over
+        # the whole batch.
+        bm_virtual = False
+        if (gm is None and bm is None and not tiny_runs
+                and self.BITMAP_VIRTUAL
+                and jax.default_backend() != "cpu"):
+            plan = self._virtual_bitmap_plan(slots)
+            if plan is not None:
+                v_rows, v_slots, v_gp, v_scap = plan
+                table = self.host.bitmap_rows_table(v_rows, v_scap)
+                bm = (table, self.host.bitmap_layout()[1])
+                bm_virtual = True
+                slots = v_slots
         sk = None
         if (gm is None and bm is None and not tiny_runs
                 and self.host.n_terms >= self.SKETCH_MIN_TERMS):
@@ -1050,6 +1095,7 @@ class SearchEngine:
                 fused_bmax=bool(bm_kernel and bm_fused),
                 bmax_blk=int(self.BITMAP_BMAX_BLK),
                 compact_rows=(gp_eff if bm_rows is not None else 0),
+                virtual=bm_virtual,
             )
 
         bm_table = None

@@ -317,3 +317,61 @@ def test_compact_gram_rows_remap():
             assert rows[remapped[i, j]] == v
     # too-large union fraction declines
     assert eng._compact_gram_rows(slots, 1000) is None
+
+
+def test_engine_virtual_bitmap_parity(monkeypatch):
+    """Virtual per-batch compact bitmap (full table over budget): engine
+    results must match the dense path; routing must show virtual=True."""
+    import functools
+    import random as _random
+
+    import jax
+
+    from stringsearchlib_tpu.search import candidates as cmod
+    from stringsearchlib_tpu.search import engine as emod
+
+    rng = _random.Random(17)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(8, 16)))
+        for _ in range(4000)
+    ]
+    host = build_index(words, 1, None, IndexConfig())
+    eng = SearchEngine(host)
+    eng.GM_BUDGET = 0
+    eng.BITMAP_BUDGET = 0  # full table "over budget" -> virtual route
+    eng.BITMAP_VIRTUAL = True  # default-off (slow scatter build on TPU)
+    eng.SKETCH_MIN_TERMS = 10**9  # keep the sketch out of the way
+    monkeypatch.setattr(
+        cmod, "candidates_bitmap_mxu",
+        functools.partial(cmod.candidates_bitmap_mxu, interpret=True),
+    )
+    monkeypatch.setattr(emod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(eng, "CAND_MIN_TERMS", 100)
+    queries = [w[:-1] + "x" for w in words[:24]]
+    got = eng.search_batch(queries, 0.25, 10, mode="candidates")
+    assert eng.last_routing["variant"] == "bitmap_kernel"
+    assert eng.last_routing["virtual"] is True
+    monkeypatch.setattr(emod.jax, "default_backend", jax.default_backend)
+    want = eng.search_batch(queries, 0.25, 10, mode="dense")
+    for q, g, w in zip(queries, got, want):
+        gs = sorted((round(s, 5), len(k)) for k, s in zip(*g))
+        ws = sorted((round(s, 5), len(k)) for k, s in zip(*w))
+        assert gs == ws, (q, g, w)
+
+
+def test_virtual_bitmap_rows_match_full_table(host_engine):
+    """bitmap_rows_table row content == the full table's rows."""
+    host, eng = host_engine
+    bm, _ = host.bitmap_tables()
+    full = np.asarray(bm)
+    rng = np.random.default_rng(3)
+    used = np.unique(rng.choice(host.n_grams, 40))
+    rows = np.full(64, -1, np.int32)
+    rows[: used.size] = used
+    lens = host.host_posting_lens
+    s_cap = 1 << 14
+    assert int(lens[used].sum()) < s_cap
+    got = np.asarray(host.bitmap_rows_table(rows, s_cap))
+    np.testing.assert_array_equal(got[: used.size], full[used])
+    assert not got[used.size :].any()  # pad rows carry no bits

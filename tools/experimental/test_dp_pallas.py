@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from stringsearchlib_tpu.ops.experimental import dp_pallas
+from tools.experimental import dp_pallas
 from stringsearchlib_tpu.search.editdist import dp_match
 from stringsearchlib_tpu.utils.oracle import OracleIndex
 

@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from stringsearchlib_tpu.ops.experimental import vgather
+from tools.experimental import vgather
 
 
 @pytest.fixture(autouse=True)

@@ -28,6 +28,12 @@ if not int(os.environ.get("SCALE_REAL", 0)):  # virtual CPU mesh (default)
         "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
     )
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # sitecustomize force-registers the axon TPU plugin at process start,
+    # which overrides JAX_PLATFORMS; pin the platform through the config
+    # API before any backend initializes (same trick as tests/conftest.py)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
