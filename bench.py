@@ -159,6 +159,20 @@ def _run_config(words, n_queries, threshold, limit, reps, singles=0,
         # no artifact recorded
         "routing": dict(engine.last_routing),
     }
+    # speed-of-light accounting for the kernel front ends: the bitmap/
+    # matmul hits pass is MXU-bound (B x Gp x Tlp int8 MACs at 394 TOPS
+    # peak on v5e), so its qps ceiling is independent of the back half;
+    # achieved_vs_mxu_roofline says how much of the e2e gap is front end
+    # vs selection/ranking.
+    if out["hits_path"] in ("bitmap", "matmul") and host.n_terms:
+        rt = engine.last_routing
+        gp_eff = rt.get("compact_rows") or rt.get("gp_rows") or host.n_grams
+        tlp = ((host.n_terms + 32767) // 32768) * 32768
+        mxu_qps = 394e12 / max(2.0 * gp_eff * tlp, 1.0)
+        out["roofline"] = {
+            "mxu_bound_qps": round(mxu_qps, 1),
+            "achieved_vs_mxu_roofline": round(out["qps"] / mxu_qps, 4),
+        }
     if singles:
         qs = queries[:singles]
         engine.search(qs[0], threshold, limit)  # warm single variants
