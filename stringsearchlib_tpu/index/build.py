@@ -404,17 +404,29 @@ class HostIndex:
 
     _sketch_cache: object = dataclasses.field(default=None, repr=False)
 
-    def sketch_tables(self, budget_bytes: int = 6 << 30, max_tgw: int = 128):
+    def sketch_tables(
+        self, budget_bytes: int = 6 << 30, max_tgw: int = 128,
+        packed: bool = False,
+    ):
         """Sketch-path tables (search.sketch): hashed-bucket incidence
-        ``inc`` (D, Tl_pad) int8, term->gram table ``tg`` (Tl_pad, TGW)
-        int32, padded per-term weight bound (Tl_pad,) f32, and d_log2 -
-        or None when the long tier is too small/wide for the path.
+        ``inc``, term->gram table ``tg`` (Tl_pad, TGW) int32, padded
+        per-term weight bound (Tl_pad,) f32, and d_log2 - or None when
+        the long tier is too small/wide for the path.
+
+        ``packed=False``: inc is (D, Tl_pad) int8 (XLA dot operand),
+        D <= 1024.  ``packed=True``: inc is plane-tiled (D, Tl_pad/8)
+        int8 for the Pallas unpack-matmul kernel - 8x the bucket reach
+        per HBM byte (D <= 16384), which is the collision/retry knob on
+        gram-rich corpora.
 
         Built ON DEVICE from the resident token matrix for narrow g<=3
         (host->device upload dominates index build through remote
-        backends); numpy + upload otherwise.  Cached per index."""
-        if self._sketch_cache is not None:
-            sk = self._sketch_cache
+        backends); numpy + upload otherwise.  Cached per index and mode."""
+        if not isinstance(self._sketch_cache, dict):
+            self._sketch_cache = {}
+        mode = bool(packed)
+        if mode in self._sketch_cache:
+            sk = self._sketch_cache[mode]
             return None if sk is False else sk
         from ..search import sketch as sketchlib
 
@@ -423,19 +435,27 @@ class HostIndex:
         g = self.config.gram_size
         tgw = int(d.long_tokens.shape[1]) - g + 1
         if tl == 0 or self.n_grams == 0 or tgw < 1 or tgw > max_tgw:
-            self._sketch_cache = False
+            self._sketch_cache[mode] = False
             return None
         tile = sketchlib._TILE
         tl_pad = -(-tl // tile) * tile
-        d_log2 = 10
-        while d_log2 > 7 and (1 << d_log2) * tl_pad > budget_bytes:
+        bytes_per_d = tl_pad // 8 if packed else tl_pad
+        # packed cap 13 (8192 buckets): the one-time pack holds the mask
+        # (tl_pad * D/8) plus ~1-2 GB of slab transients on device; 2^14
+        # at 2M terms peaked over HBM during the build
+        d_log2 = 13 if packed else 10
+        while d_log2 > 7 and (1 << d_log2) * bytes_per_d > budget_bytes:
             d_log2 -= 1
-        if (1 << d_log2) * tl_pad > budget_bytes:
-            self._sketch_cache = False
+        if (1 << d_log2) * bytes_per_d > budget_bytes:
+            self._sketch_cache[mode] = False
             return None
 
         if not self.config.wide and g <= 3:
-            inc, tg = sketchlib.build_sketch_device(
+            builder = (
+                sketchlib.build_sketch_device_packed
+                if packed else sketchlib.build_sketch_device
+            )
+            inc, tg = builder(
                 d.long_tokens,
                 d.long_lengths,
                 jnp.asarray(self.gram_ids.astype(np.int32)),
@@ -456,10 +476,12 @@ class HostIndex:
                 tl_pad,
                 tgw,
             )
+            if packed:
+                inc = jnp.asarray(sketchlib.pack_inc_np(np.asarray(inc)))
         ts = int(d.short_lengths.shape[0])
         wmax_pad = jnp.pad(d.term_wmax[ts:], (0, tl_pad - tl))
-        self._sketch_cache = (inc, tg, wmax_pad, d_log2)
-        return self._sketch_cache
+        self._sketch_cache[mode] = (inc, tg, wmax_pad, d_log2)
+        return self._sketch_cache[mode]
 
     _prim_table_cache: object = None
 

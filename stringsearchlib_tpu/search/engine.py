@@ -803,6 +803,7 @@ class SearchEngine:
     # to fit, floor 128 buckets
     SKETCH_BUDGET = 6 << 30
     SKETCH_MIN_TERMS = 200_000  # below this the runs path is already fast
+    SKETCH_PACKED = True  # packed sketch through the bitmap kernel
     # tiny-batch override: batches this small on gm-less (huge) indexes
     # skip the fixed full-table bitmap/sketch stream and take the runs
     # path when each query's bucketed posting mass fits RUNS_TINY_LANES
@@ -976,9 +977,23 @@ class SearchEngine:
                 bm_virtual = True
                 slots = v_slots
         sk = None
+        sk_packed = False
         if (gm is None and bm is None and not tiny_runs
                 and self.host.n_terms >= self.SKETCH_MIN_TERMS):
-            sk = self.host.sketch_tables(self.SKETCH_BUDGET)
+            # packed sketch: 8x the bucket count per HBM byte through the
+            # bitmap kernel; needs a TPU backend and <= 127 query windows
+            # (int8 dot exactness), same gates as the bitmap kernel
+            sk_packed = (
+                self.SKETCH_PACKED
+                and jax.default_backend() != "cpu"
+                and slots.shape[1] <= 127
+            )
+            sk = self.host.sketch_tables(
+                self.SKETCH_BUDGET, packed=sk_packed
+            )
+            if sk is None and sk_packed:
+                sk_packed = False
+                sk = self.host.sketch_tables(self.SKETCH_BUDGET)
         pt, xt = self.host.prim_tables()
         if gm is not None:
             n_lanes = (ts if compute_short else 0) + tl
@@ -1034,7 +1049,7 @@ class SearchEngine:
                     + (1 << 16)
                 )
         elif sk is not None:
-            tlp = int(sk[0].shape[1])
+            tlp = int(sk[1].shape[0])
             n_lanes = (ts if compute_short else 0) + tl
             per_q = (
                 3 * tlp
@@ -1076,7 +1091,7 @@ class SearchEngine:
         elif bm is not None:
             variant = "bitmap_kernel" if bm_kernel else "bitmap_scan"
         elif sk is not None:
-            variant = "sketch"
+            variant = "sketch_packed" if sk_packed else "sketch"
         else:
             variant = "runs"
         self.last_routing = {
@@ -1167,7 +1182,12 @@ class SearchEngine:
                 )
             elif sk is not None:
                 inc, tg, wmax_pad, d_log2 = sk
-                sb = max(inc.shape[1] // (128 * 128), 1)
+                # superblock count from the TERM width (tg rows): the
+                # packed inc's shape[1] is BYTES (tl_pad/8), and sizing
+                # ksb from it kept 15 of 123 superblocks -> the coverage
+                # guard failed on every row and e2e collapsed to dense
+                # retries (measured 7 q/s at the 2D config)
+                sb = max(int(tg.shape[0]) // (128 * 128), 1)
                 scale = max(cand_cap // self.CAND_TERMS_FAST, 1)
                 ksb = min(self.SK_KSB * scale, sb)
                 kb = min(self.SK_KB * scale, ksb * 128)
@@ -1189,6 +1209,7 @@ class SearchEngine:
                     lim_arr,
                     np.float32(threshold),
                     d_log2=d_log2,
+                    packed=sk_packed,
                     compute_short=compute_short,
                     n_cand=min(n_cand, kb * 128),
                     n_short_cand=min(max(_next_pow2(min(ts, 512), 16), 16),

@@ -85,26 +85,11 @@ def _pack_windows(tokens32: jnp.ndarray, gram_size: int) -> jnp.ndarray:
     return out
 
 
-@functools.partial(
-    jax.jit, static_argnames=("gram_size", "d_log2", "tl_pad", "tgw")
-)
-def build_sketch_device(
-    long_tokens,  # (Tl, W) integer tokens (any int dtype)
-    long_lengths,  # (Tl,) int32
-    gram_ids32,  # (G,) int32 sorted distinct packed gram ids
-    *,
-    gram_size: int,
-    d_log2: int,
-    tl_pad: int,
-    tgw: int,
+def _tg_and_mask(
+    long_tokens, long_lengths, gram_ids32, *, gram_size, d_log2, tl_pad, tgw
 ):
-    """On-device sketch tables for the narrow g<=3 case.
-
-    Returns (inc (D, tl_pad) int8, tg (tl_pad, tgw) int32).  ``tg`` rows are
-    each term's DISTINCT gram slots sorted ascending, -1 padded (set
-    semantics; duplicates within a term collapse, nGramSearch.hpp:19).
-    Padded terms are all -1 / zero incidence and can never pass.
-    """
+    """Shared front of the device builders: per-term distinct gram slots
+    ``tg`` and the per-term bucket bitmask ``mask`` (Tl_pad, D/32) uint32."""
     tl = long_tokens.shape[0]
     g_total = gram_ids32.shape[0]
     d = 1 << d_log2
@@ -130,7 +115,7 @@ def build_sketch_device(
         tg = jnp.pad(tg, ((0, 0), (0, tgw - tg.shape[1])), constant_values=-1)
     tg = jnp.pad(tg[:, :tgw], ((0, tl_pad - tl), (0, 0)), constant_values=-1)
 
-    # bucket bitmask (Tl_pad, D/32) uint32, then expand to (D, Tl_pad) int8
+    # bucket bitmask (Tl_pad, D/32) uint32
     buckets = bucket_of(tg, d_log2)  # (tl_pad, tgw), -1 invalid
     n_words = max(d // 32, 1)
     word_ids = jnp.arange(n_words, dtype=jnp.int32)
@@ -145,7 +130,34 @@ def build_sketch_device(
             jnp.uint32(0),
         )
         mask = mask | contrib
+    return tg, mask
 
+
+@functools.partial(
+    jax.jit, static_argnames=("gram_size", "d_log2", "tl_pad", "tgw")
+)
+def build_sketch_device(
+    long_tokens,  # (Tl, W) integer tokens (any int dtype)
+    long_lengths,  # (Tl,) int32
+    gram_ids32,  # (G,) int32 sorted distinct packed gram ids
+    *,
+    gram_size: int,
+    d_log2: int,
+    tl_pad: int,
+    tgw: int,
+):
+    """On-device sketch tables for the narrow g<=3 case.
+
+    Returns (inc (D, tl_pad) int8, tg (tl_pad, tgw) int32).  ``tg`` rows are
+    each term's DISTINCT gram slots sorted ascending, -1 padded (set
+    semantics; duplicates within a term collapse, nGramSearch.hpp:19).
+    Padded terms are all -1 / zero incidence and can never pass.
+    """
+    tg, mask = _tg_and_mask(
+        long_tokens, long_lengths, gram_ids32, gram_size=gram_size,
+        d_log2=d_log2, tl_pad=tl_pad, tgw=tgw,
+    )
+    d = 1 << d_log2
     words_t = mask.T  # (n_words, tl_pad)
     d_idx = jnp.arange(d, dtype=jnp.int32)
     inc = (
@@ -153,6 +165,79 @@ def build_sketch_device(
         & jnp.uint32(1)
     ).astype(jnp.int8)
     return inc, tg
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gram_size", "d_log2", "tl_pad", "tgw")
+)
+def build_sketch_device_packed(
+    long_tokens, long_lengths, gram_ids32, *,
+    gram_size: int, d_log2: int, tl_pad: int, tgw: int,
+):
+    """Packed-plane sketch incidence: (D, tl_pad/8) int8 in the
+    ops.bitmap_matmul layout, so the hashed-bucket hit bound runs through
+    the SAME Pallas unpack-matmul kernel as the exact bitmap path.
+
+    Packing is the point: D is the collision knob (sound upper bounds
+    get tight as D grows) and an unpacked (D, Tl) int8 incidence caps D
+    at ~1024 under a 6 GB budget at 2M terms, i.e. ~46 grams/bucket on a
+    47k-gram corpus - hopeless inflation.  Packed, the same budget holds
+    D = 16384 (~3 grams/bucket).  Expansion+packing runs in D-slabs of
+    512 rows inside one jit so the (slab, Tl) transient stays ~1 GB.
+    """
+    from ..ops.bitmap_matmul import BLKB, TILE_LANES
+
+    tg, mask = _tg_and_mask(
+        long_tokens, long_lengths, gram_ids32, gram_size=gram_size,
+        d_log2=d_log2, tl_pad=tl_pad, tgw=tgw,
+    )
+    d = 1 << d_log2
+    nb = tl_pad // 8
+    nt = tl_pad // TILE_LANES
+    slab = min(512, d)  # D rows per step; 16 mask words
+    nw = slab // 32
+    shifts = (
+        jnp.uint16(1) << jnp.arange(8, dtype=jnp.uint16)
+    ).reshape(1, 1, 8, 1)
+    bitsel = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+
+    def body(i, out):
+        # (tl_pad, nw) u32 word slice -> (slab, tl_pad) u8 bits -> pack.
+        # Narrow dtypes keep the slab transients ~1-2 GB at 2M terms
+        # (a u32 formulation peaked >12 GB and OOM'd the chip).
+        sub = jax.lax.dynamic_slice(
+            mask, (0, i * nw), (tl_pad, nw)
+        )  # (tl_pad, nw) u32
+        bits = ((sub[:, :, None] >> bitsel) & jnp.uint32(1)).astype(
+            jnp.uint8
+        ).reshape(tl_pad, slab)
+        v = bits.T.reshape(slab, nt, 8, BLKB)
+        byte = jnp.sum(
+            v.astype(jnp.uint16) * shifts, axis=2, dtype=jnp.uint16
+        ).astype(jnp.uint8)
+        return jax.lax.dynamic_update_slice(
+            out, jax.lax.bitcast_convert_type(byte.reshape(slab, nb),
+                                              jnp.int8),
+            (i * slab, 0),
+        )
+
+    out = jnp.zeros((d, nb), jnp.int8)
+    out = jax.lax.fori_loop(0, d // slab, body, out)
+    return out, tg
+
+
+def pack_inc_np(inc: np.ndarray) -> np.ndarray:
+    """Numpy packer for the host-built (wide / g=4) sketch incidence:
+    (D, tl_pad) 0/1 -> plane-tiled (D, tl_pad/8) int8."""
+    from ..ops.bitmap_matmul import BLKB, TILE_LANES
+
+    d, tlp = inc.shape
+    nt = tlp // TILE_LANES
+    v = inc.reshape(d, nt, 8, BLKB).astype(np.uint16)
+    byte = (v << np.arange(8, dtype=np.uint16)[None, None, :, None]).sum(
+        axis=2
+    )
+    return byte.astype(np.uint8).view(np.int8).reshape(d, nt * BLKB)
 
 
 def build_sketch_host(
@@ -242,28 +327,43 @@ def candidates_sketch_impl(
     kb: int,
     n_edge: int,
     top_k: int,
+    packed: bool = False,
+    interpret: bool = False,
 ):
     ts, tl = di.n_short, di.n_long
     compute_short = compute_short and ts > 0
-    tlp = inc.shape[1]
+    tlp = tg.shape[0]
     nb = tlp // _BLK
     sb = nb // _SUPER
     d = 1 << d_log2
 
     # query bucket multiplicities, built on device from the slot matrix
     qb = bucket_of(qslots, d_log2)
-    cnt_dtype = jnp.int8 if qslots.shape[1] <= 127 else jnp.int32
-    qcnt = jax.vmap(
-        lambda row: jnp.zeros((d,), cnt_dtype)
-        .at[jnp.where(row >= 0, row, d)]
-        .add(1, mode="drop")
-    )(qb)
+    if packed:
+        # plane-tiled packed incidence through the Pallas unpack-matmul
+        # kernel (ops.bitmap_matmul) - 8x the D reach per HBM byte, which
+        # is what keeps the bound tight on gram-rich corpora
+        from ..ops.bitmap_matmul import bitmap_hits
 
-    # one MXU pass: upper-bound hit counts for every long term
-    hits8 = jax.lax.dot_general(
-        qcnt, inc, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(cnt_dtype)
+        qcnt = jax.vmap(
+            lambda row: jnp.zeros((d,), jnp.bfloat16)
+            .at[jnp.where(row >= 0, row, d)]
+            .add(1, mode="drop")
+        )(qb)
+        hits8 = bitmap_hits(qcnt, inc, int8_dots=True, interpret=interpret)
+    else:
+        cnt_dtype = jnp.int8 if qslots.shape[1] <= 127 else jnp.int32
+        qcnt = jax.vmap(
+            lambda row: jnp.zeros((d,), cnt_dtype)
+            .at[jnp.where(row >= 0, row, d)]
+            .add(1, mode="drop")
+        )(qb)
+
+        # one MXU pass: upper-bound hit counts for every long term
+        hits8 = jax.lax.dot_general(
+            qcnt, inc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(cnt_dtype)
 
     nqg_f = jnp.maximum(n_qgrams.astype(jnp.float32), 1.0)
     s_h = hits8.astype(jnp.float32) / nqg_f[:, None]
@@ -369,6 +469,6 @@ candidates_sketch = functools.partial(
     jax.jit,
     static_argnames=(
         "d_log2", "compute_short", "n_cand", "n_short_cand", "ksb", "kb",
-        "n_edge", "top_k",
+        "n_edge", "top_k", "packed", "interpret",
     ),
 )(candidates_sketch_impl)

@@ -39,6 +39,7 @@ def _queries(words, seed=5, n=48):
 def _sketch_engine(host, budget=6 << 30):
     eng = SearchEngine(host)
     eng.GM_BUDGET = 0  # no dense incidence -> sketch eligible
+    eng.BITMAP_BUDGET = 0  # no packed incidence either
     eng.SKETCH_MIN_TERMS = 0
     eng.CAND_MIN_TERMS = 0
     eng.SKETCH_BUDGET = budget
@@ -172,3 +173,61 @@ def test_sketch_upper_bound_property():
         qcnt = np.bincount(bk, minlength=inc_np.shape[0])
         sketch_hits = qcnt @ inc_np
         assert (sketch_hits >= true_hits).all()
+
+
+def test_packed_inc_matches_unpacked():
+    """Packed device build == pack(unpacked device build), and the numpy
+    packer agrees."""
+    from stringsearchlib_tpu.search import sketch as sketchlib
+    import jax.numpy as jnp
+
+    words = _corpus(900, seed=51)
+    host = build_index(words, 1, None, IndexConfig())
+    d = host.device
+    tl = int(d.long_lengths.shape[0])
+    tlp = -(-tl // sketchlib._TILE) * sketchlib._TILE
+    tgw = int(d.long_tokens.shape[1]) - host.config.gram_size + 1
+    kw = dict(gram_size=host.config.gram_size, d_log2=9, tl_pad=tlp, tgw=tgw)
+    gids = jnp.asarray(host.gram_ids.astype(np.int32))
+    inc, tg = sketchlib.build_sketch_device(
+        d.long_tokens, d.long_lengths, gids, **kw
+    )
+    pinc, ptg = sketchlib.build_sketch_device_packed(
+        d.long_tokens, d.long_lengths, gids, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(tg), np.asarray(ptg))
+    want = sketchlib.pack_inc_np(np.asarray(inc))
+    np.testing.assert_array_equal(np.asarray(pinc), want)
+
+
+def test_sketch_packed_parity(monkeypatch):
+    """Engine parity on the PACKED sketch route (kernel in interpret
+    mode); routing must show sketch_packed."""
+    import functools
+
+    import jax
+
+    from stringsearchlib_tpu.search import sketch as sketchlib
+    from stringsearchlib_tpu.search import engine as emod
+
+    words = _corpus(2200, seed=53)
+    host = build_index(words, 1, None, IndexConfig())
+    eng = _sketch_engine(host)
+    monkeypatch.setattr(
+        emod, "jax", emod.jax
+    )
+    monkeypatch.setattr(emod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        sketchlib, "candidates_sketch",
+        functools.partial(sketchlib.candidates_sketch, interpret=True),
+    )
+    # the engine imports candidates_sketch per call from .sketch
+    import stringsearchlib_tpu.search.candidates  # noqa: F401
+
+    queries = _queries(words, seed=57, n=24)
+    got = eng.search_batch(queries, 0.3, 10, mode="candidates")
+    assert eng.last_routing["variant"] in ("sketch_packed", "sketch")
+    monkeypatch.setattr(emod.jax, "default_backend", jax.default_backend)
+    want = eng.search_batch(queries, 0.3, 10, mode="dense")
+    for q, a, b in zip(queries, got, want):
+        assert a == b, (q, a[:3], b[:3])
