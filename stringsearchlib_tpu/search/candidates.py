@@ -561,7 +561,11 @@ BLOCKMAX_IMPL = "reduce_window"
 def block_hmax(hits, nblk, blk):
     """(B, nblk*blk) int hits -> (B, nblk) per-contiguous-blk-lane max."""
     b = hits.shape[0]
-    if BLOCKMAX_IMPL == "reduce_window":
+    # the maxpool path allocates its window on scoped VMEM; at blk=512
+    # over a 10M-lane hits matrix XLA requests 37 MB of stack and aborts
+    # ("should not be possible to run out of scoped vmem"), so wide
+    # blocks take the reshape reduce
+    if BLOCKMAX_IMPL == "reduce_window" and blk <= 128:
         if jnp.issubdtype(hits.dtype, jnp.floating):
             neg = np.asarray(-np.inf, hits.dtype)
         else:

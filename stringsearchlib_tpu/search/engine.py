@@ -825,7 +825,10 @@ class SearchEngine:
     BITMAP_BMAX_BLK = 128
     BITMAP_GTILE_OK = True
     # kept-lane budget for the huge-tier blockmax finish (0 = legacy
-    # n_cand blocks x blk lanes); the rescore + lane-topk width
+    # n_cand blocks x blk lanes); the rescore + lane-topk width.
+    # WARNING: 65536 (kb=512 blocks) reproducibly crashed the v5e TPU
+    # worker process ("kernel fault") on the round-3 libtpu - keep 0
+    # until a libtpu update is re-validated (docs/PERF.md round 3).
     BITMAP_KB_LANES = 0
     # gram-union row compaction: a batch's queries touch at most
     # B x Qmax of the table's gram rows, so on gram-RICH tables (47k+
