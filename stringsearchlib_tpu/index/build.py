@@ -116,6 +116,11 @@ class HostIndex:
     host_key_edge_ptr: Optional[np.ndarray] = None
     host_key_edge_term: Optional[np.ndarray] = None
     host_key_edge_weight: Optional[np.ndarray] = None
+    # every term->key edge weight == 1.0 (the default-weight case,
+    # nGramSearch.hpp:141-148): per-term score upper bounds then equal the
+    # score itself, enabling the integer hit-threshold (h*) selection
+    # (search.candidates._hstar_finish)
+    uniform_weights: bool = False
     _key_hash_cache: Optional[tuple] = None
     _dp_bucket_cache: Optional[tuple] = None
     _gram_matrix_cache: object = dataclasses.field(default=None, repr=False)
@@ -1049,6 +1054,7 @@ def _build_from_native(
         host_key_edge_ptr=ke_ptr,
         host_key_edge_term=ke_term,
         host_key_edge_weight=ke_w,
+        uniform_weights=bool(ew.size == 0 or np.all(ew == 1.0)),
     )
 
 
@@ -1259,4 +1265,7 @@ def _build_numpy(
         host_key_edge_ptr=ke_ptr,
         host_key_edge_term=ke_term,
         host_key_edge_weight=ke_w,
+        uniform_weights=bool(
+            edge_weight.size == 0 or np.all(edge_weight == 1.0)
+        ),
     )

@@ -154,4 +154,10 @@ def load_index(path: Union[str, os.PathLike, io.IOBase]) -> HostIndex:
             host_key_edge_ptr=np.asarray(z["dev_key_edge_ptr"]),
             host_key_edge_term=np.asarray(z["dev_key_edge_term"]),
             host_key_edge_weight=np.asarray(z["dev_key_edge_weight"]),
+            # recomputed rather than stored: the key->edge CSR carries the
+            # same weights the term->key edges do
+            uniform_weights=bool(
+                z["dev_key_edge_weight"].size == 0
+                or np.all(z["dev_key_edge_weight"] == 1.0)
+            ),
         )

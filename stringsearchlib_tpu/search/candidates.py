@@ -552,6 +552,175 @@ def _unpack_planes(rows):
     return jnp.concatenate(planes, axis=-2).reshape(*lead, nb * 8)
 
 
+def _hstar_finish(
+    di, pt, xt, hits, hmax, qtokens, qlens, n_qgrams, use_short, promo_ids,
+    promo_terms, promo_weights, limits, threshold, *, compute_short,
+    kb1, kb2, n_cand, n_edge, top_k, with_bound, vmax, blk=_BLK,
+):
+    """Integer hit-threshold (h*) selection for HUGE dense hit matrices.
+
+    Requires EVERY term->key weight == 1 (HostIndex.uniform_weights; the
+    engine gates on it): a term's best key contribution is then exactly
+    ``hits/n_qgrams``, so selection and exactness-guard bounds live in
+    INTEGER hit space — tie-proof where the float block-bound cascade was
+    not (docs/PERF.md round 2: a shallower bound landing inside a score
+    tie class escalated every chunk).
+
+    Scheme (replaces block top-k by bound + deep rescore):
+      1. per-query exact counts cnt[v] = #128-lane blocks with block max
+         >= v, one fused compare-reduce pass over ``hmax`` (the kernel's
+         fused epilogue output) — hits are small ints (<= Qmax <= vmax);
+      2. h* = the smallest v >= max(ceil(threshold * nqg), 1) whose block
+         count fits the selection budgets.  ALL blocks with max >= h* are
+         then kept (counts are exact), so every unkept term has hits
+         <= h* - 1: the guard bound is (h* - 1)/nqg, strictly below any
+         kept tie class — integer scores cannot straddle it;
+      3. coarse-to-fine extraction bounded by those counts: top-kb1 of
+         the 1024-lane maxima -> their 8 sub-block maxima -> top-kb2
+         128-lane blocks -> one (kb2 * 128)-lane gather of exact hits.
+         The probe (tools/probe_structure_r4.py, 1M keys): terms at the
+         100-th-ranked score level number ~170-700 per query, spread one
+         per block, so kb1 = kb2 = 512 covers with ~10x less gathered and
+         top-k'd lane space than the bound cascade's 131k-524k.
+
+    ``hits`` columns beyond di.n_long are zero padding; h* >= 1 never
+    selects them.  Exact-match promotion keys are rescored from the full
+    hits row exactly as in _blockmax_finish.
+    """
+    ts, tl = di.n_short, di.n_long
+    b, tlp = hits.shape
+    nblk = tlp // blk
+    c1 = 8  # coarse factor: 8 x 128 = 1024-lane level
+    n1 = -(-nblk // c1)
+    hm = hmax
+    if n1 * c1 != nblk:
+        hm = jnp.pad(hmax, ((0, 0), (0, n1 * c1 - nblk)),
+                     constant_values=np.int8(-1))
+    hm3 = hm.reshape(b, n1, c1)
+    bm1 = jnp.max(hm3, axis=2)  # (b, n1) int8
+
+    # -- exact block counts and h* (integer, per query) --------------------
+    vals = np.arange(1, vmax + 1, dtype=np.int8)  # hits <= Qmax <= vmax
+    cnt128 = jnp.sum(
+        (hm[:, :, None] >= vals[None, None, :]).astype(jnp.int32), axis=1
+    )  # (b, vmax)
+    cnt1 = jnp.sum(
+        (bm1[:, :, None] >= vals[None, None, :]).astype(jnp.int32), axis=1
+    )
+    nqg_f = jnp.maximum(n_qgrams.astype(jnp.float32), 1.0)
+    floor_h = jnp.clip(
+        jnp.ceil(threshold * nqg_f - 1e-6).astype(jnp.int32), 1, vmax
+    )  # smallest hit count that can reach the threshold
+    fits = (cnt128 <= kb2) & (cnt1 <= kb1)  # monotone in v
+    first_fit = jnp.argmax(fits, axis=1).astype(jnp.int32) + 1
+    any_fit = jnp.any(fits, axis=1)
+    # no fitting level within vmax: h* = vmax + 1 selects nothing and the
+    # guard fails -> the host escalates (cannot happen once kb2 >= nblk)
+    hstar = jnp.where(
+        any_fit, jnp.maximum(first_fit, floor_h), np.int32(vmax + 1)
+    )  # (b,)
+    # every >= threshold block kept <=> the threshold level itself fits
+    covered_blocks = (
+        jnp.take_along_axis(fits, jnp.clip(floor_h - 1, 0, vmax - 1)[:, None],
+                            axis=1)[:, 0]
+        & (hstar <= floor_h)
+    )
+
+    # -- coarse -> fine extraction ------------------------------------------
+    h8 = hstar.astype(jnp.int8)[:, None]
+    bv, bsel = jax.lax.top_k(bm1, min(kb1, n1))  # (b, kb1)
+    bvalid = bv >= h8
+    sub = jnp.take_along_axis(hm3, bsel[:, :, None], axis=1)  # (b, kb1, c1)
+    sub = jnp.where(bvalid[:, :, None], sub, np.int8(-1))
+    subid = bsel[:, :, None] * c1 + jnp.arange(c1, dtype=jnp.int32)
+    kb1_eff = sub.shape[1]
+    fv, fs = jax.lax.top_k(sub.reshape(b, kb1_eff * c1), min(kb2, kb1_eff * c1))
+    fvalid = fv >= h8
+    fid = jnp.take_along_axis(subid.reshape(b, kb1_eff * c1), fs, axis=1)
+    fid = jnp.clip(fid, 0, nblk - 1)  # (b, kb2) 128-lane block ids
+
+    h3 = hits.reshape(b, nblk, blk)
+    hb = jnp.take_along_axis(h3, fid[:, :, None], axis=1)  # (b, kb2, blk)
+    hb = jnp.where(fvalid[:, :, None], hb, np.int8(0))
+    kb2_eff = hb.shape[1]
+    col2 = (
+        fid[:, :, None] * blk + jnp.arange(blk, dtype=jnp.int32)[None, None, :]
+    ).reshape(b, kb2_eff * blk)
+    s2 = hb.astype(jnp.float32) / nqg_f[:, None, None]
+    pass2 = (hb > 0) & (n_qgrams[:, None, None] > 0) & (
+        s2 >= threshold
+    )
+    u2 = jnp.where(pass2, s2, _NEG_INF).reshape(b, kb2_eff * blk)
+    s2f = s2.reshape(b, kb2_eff * blk)
+    n_pass_in = jnp.sum(pass2.astype(jnp.int32), axis=(1, 2))
+    # sound bound on every term OUTSIDE the kept blocks (weights == 1)
+    u_blk = jnp.where(
+        covered_blocks, _NEG_INF,
+        (hstar.astype(jnp.float32) - 1.0) / nqg_f,
+    )
+
+    def one(args):
+        (qtok, qlen, hrow, u2r, s2r, col2r, u_br, bcov, npi, promo, p_t,
+         p_w, limit, nqg, us) = args
+        qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
+        nqg_f1 = jnp.maximum(nqg.astype(jnp.float32), 1.0)
+
+        def s_at(col):  # exact long-tier score at arbitrary columns
+            h = hrow[jnp.clip(col, 0, tlp - 1)].astype(jnp.float32)
+            s = h / nqg_f1
+            return s, (h > 0) & (nqg > 0) & (s >= threshold)
+
+        if compute_short:
+            s_short, pass_short, u_short = _short_tier(
+                di, qtok, qlen, us, threshold, qlen_f
+            )
+            u_cat = jnp.concatenate([u_short, u2r])
+            s_cat = jnp.concatenate([s_short, s2r])
+            gid_cat = jnp.concatenate(
+                [jnp.arange(ts, dtype=jnp.int32), ts + col2r]
+            )
+            npi = npi + jnp.sum(pass_short.astype(jnp.int32))
+
+            def term_score(p_t):
+                p_sh = p_t < ts
+                p_ss = s_short[jnp.clip(p_t, 0, max(ts - 1, 0))]
+                p_sl, p_okl = s_at(p_t - ts)
+                p_ps = pass_short[jnp.clip(p_t, 0, max(ts - 1, 0))]
+                return (
+                    jnp.where(p_sh, p_ss, p_sl),
+                    jnp.where(p_sh, p_ps, p_okl),
+                )
+        else:
+            u_cat, s_cat = u2r, s2r
+            gid_cat = ts + col2r
+
+            def term_score(p_t):
+                s, ok = s_at(p_t - ts)
+                return s, (p_t >= ts) & ok
+
+        ub, ls = topk_chunked(u_cat, min(n_cand, u_cat.shape[0]))
+        sel_valid = ub > _NEG_INF
+        lsc = jnp.clip(ls, 0, gid_cat.shape[0] - 1)
+        t_sel = gid_cat[lsc]
+        s_sel = s_cat[lsc]
+        sel_cov = npi <= ub.shape[0]
+        u_c = jnp.maximum(
+            jnp.where(sel_cov, _NEG_INF, ub[-1]), u_br
+        )
+        covered = bcov & sel_cov
+        return _finish_selected(
+            di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score,
+            (promo, p_t, p_w), limit, threshold, n_edge=n_edge,
+            top_k=top_k, with_bound=with_bound,
+        )
+
+    return jax.vmap(one)(
+        (qtokens, qlens, hits, u2, s2f, col2, u_blk, covered_blocks,
+         n_pass_in, promo_ids, promo_terms, promo_weights, limits,
+         n_qgrams, use_short)
+    )
+
+
 # blockmax formulation over the (B, Tl) hits matrix: "reduce_window"
 # maps onto XLA:TPU's maxpool path, "reshape" is the naive lane reduce.
 # Switched by measurement on hardware (tools/probe_blockmax.py).
@@ -814,6 +983,9 @@ def candidates_bitmap_mxu_impl(
     bmax_blk: int = _BLK,
     approx: bool = False,
     kb_lanes: int = 0,
+    hstar: bool = False,
+    kb1: int = 512,
+    kb2: int = 512,
 ):
     """EXACT hit counts via the Pallas unpack-matmul kernel
     (ops.bitmap_matmul): the packed incidence streams through VMEM once
@@ -821,8 +993,9 @@ def candidates_bitmap_mxu_impl(
     unpacked tile - the reference's posting loop (nGramSearch.hpp:289-298)
     at 1/8 the HBM bytes of the int8 incidence.  si8 x si8 -> si32 dots
     are exact for counts <= 127, so the engine keeps Qmax <= 127 slots on
-    this path.  Finishes with _blockmax_finish at huge tiers (block_sel)
-    or the shared dense finish otherwise."""
+    this path.  Finishes with _hstar_finish (``hstar``, uniform-weight
+    indexes), _blockmax_finish at huge tiers (block_sel), or the shared
+    dense finish otherwise."""
     from ..ops.bitmap_matmul import bitmap_hits
 
     ts = di.n_short
@@ -835,6 +1008,19 @@ def candidates_bitmap_mxu_impl(
     )(qslots)
     # int8 MXU dots: v5e does 2x the int8 MACs of bf16 (measured 93 vs
     # 29 GB/s of packed table at B=256); si8 x si8 -> si32 is exact
+    if hstar:
+        from ..ops.bitmap_matmul import bitmap_hits_bmax
+
+        hits, hmax = bitmap_hits_bmax(
+            qcnt, bitmap, interpret=interpret, int8_dots=True
+        )
+        return _hstar_finish(
+            di, pt, xt, hits, hmax, qtokens, qlens, n_qgrams, use_short,
+            promo_ids, promo_terms, promo_weights, limits, threshold,
+            compute_short=compute_short, kb1=kb1, kb2=kb2, n_cand=n_cand,
+            n_edge=n_edge, top_k=top_k, with_bound=with_bound,
+            vmax=int(qslots.shape[1]), blk=_BLK,
+        )
     if block_sel:
         if fused_bmax:
             # blockmax computed in the kernel's VMEM epilogue: skips the
@@ -875,7 +1061,7 @@ candidates_bitmap_mxu = functools.partial(
     static_argnames=(
         "compute_short", "n_cand", "n_edge", "top_k",
         "block_sel", "with_bound", "interpret", "fused_bmax", "bmax_blk",
-        "approx", "kb_lanes",
+        "approx", "kb_lanes", "hstar", "kb1", "kb2",
     ),
 )(candidates_bitmap_mxu_impl)
 

@@ -852,6 +852,20 @@ class SearchEngine:
     # 71.6 + 41 ms split) and loses below (400k: wash).  BITMAP_FUSED_BMAX
     # force-enables it everywhere.
     BITMAP_FUSED_MIN_TLP = 4 << 20
+    # integer hit-threshold (h*) selection on the bitmap-kernel path
+    # (candidates._hstar_finish): selection and guard bounds live in
+    # integer hit space (tie-proof), and the gathered/top-k'd lane space
+    # shrinks from n_cand x 128 bound-selected lanes to the blocks that
+    # provably can hold a result (probe: ~300-700 blocks per query at the
+    # 100th-ranked score level).  Sound only for uniform-weight indexes
+    # (HostIndex.uniform_weights gates it).
+    # Budgets from the 10M probe: terms at the 100th-ranked score level
+    # number 120-760 per query (p50 306), one per 128-block; budget 512
+    # failed its fit on fat tie classes for ~20% of queries (756 blocks at
+    # h=10 on q4), 1024 covered every sampled query.
+    HSTAR_SEL = True
+    HSTAR_KB1 = 1024  # 1024-lane coarse block budget
+    HSTAR_KB2 = 1024  # 128-lane block budget (gather width = KB2 * 128)
     # first candidate pass MAY select with jax.lax.approx_max_k + a sound
     # miss check (candidates.topk_guarded): the raw call is 1.5-2.4x
     # faster than exact chunked top-k on v5e, but measured on the real
@@ -1026,6 +1040,16 @@ class SearchEngine:
             bm_fused = bm_kernel and (
                 self.BITMAP_FUSED_BMAX or tlp >= self.BITMAP_FUSED_MIN_TLP
             )
+            # integer h*-threshold selection (candidates._hstar_finish):
+            # sound only when every edge weight == 1; needs the fused
+            # blockmax output
+            bm_hstar = (
+                bm_kernel
+                and self.HSTAR_SEL
+                and self.host.uniform_weights
+            )
+            if bm_hstar:
+                bm_fused = True
             bm_rows = None
             bm_slots = slots
             gp_eff = gp_rows
@@ -1033,13 +1057,19 @@ class SearchEngine:
                 comp = self._compact_gram_rows(slots, gp_rows)
                 if comp is not None:
                     bm_rows, bm_slots, gp_eff = comp
+            # escalation retries widen the h* block budgets with the
+            # selection width
+            hs_scale = max(cand_cap // self.CAND_TERMS_FAST, 1)
+            hs_kb1 = self.HSTAR_KB1 * hs_scale
+            hs_kb2 = self.HSTAR_KB2 * hs_scale
             if bm_kernel:
                 # fused epilogue skips the separate (B, Tl) blockmax temp;
                 # the rescore buffers hold kb x blk lanes (~16 B/lane)
                 blk_eff = _BLK if bm_fused else self.BITMAP_BMAX_BLK
+                kept = hs_kb2 if bm_hstar else cand_cap
                 per_q = (
                     (tlp if bm_fused else 2 * tlp)
-                    + 16 * cand_cap * blk_eff
+                    + 16 * kept * blk_eff
                     + 24 * n_edge
                     + (48 * ts if compute_short else 0)
                     + (1 << 16)
@@ -1107,6 +1137,12 @@ class SearchEngine:
         if variant.startswith("bitmap"):
             from ..ops.bitmap_matmul import SBLK_MAX as _SB
 
+            # h* selection pays off only when the lane space dwarfs its
+            # kept blocks (same scale rule as block_sel)
+            bm_hstar = (
+                bm_kernel and bm_hstar
+                and n_lanes >= 4 * hs_kb2 * _BLK
+            )
             self.last_routing.update(
                 gp_rows=int(bm[0].shape[0]),
                 gtile=gp_eff > _SB,
@@ -1114,7 +1150,10 @@ class SearchEngine:
                 bmax_blk=int(self.BITMAP_BMAX_BLK),
                 compact_rows=(gp_eff if bm_rows is not None else 0),
                 virtual=bm_virtual,
+                hstar=bool(bm_hstar),
             )
+            if bm_hstar:
+                self.last_routing.update(kb1=hs_kb1, kb2=hs_kb2)
 
         bm_table = None
         if bm is not None:
@@ -1160,6 +1199,10 @@ class SearchEngine:
                     kw["fused_bmax"] = bm_fused
                     kw["bmax_blk"] = self.BITMAP_BMAX_BLK
                     kw["kb_lanes"] = self.BITMAP_KB_LANES
+                    if bm_hstar:
+                        kw["hstar"] = True
+                        kw["kb1"] = hs_kb1
+                        kw["kb2"] = hs_kb2
                 res = fe(
                     di,
                     bm_table,

@@ -375,3 +375,145 @@ def test_virtual_bitmap_rows_match_full_table(host_engine):
     got = np.asarray(host.bitmap_rows_table(rows, s_cap))
     np.testing.assert_array_equal(got[: used.size], full[used])
     assert not got[used.size :].any()  # pad rows carry no bits
+
+
+def test_hstar_front_end_parity(host_engine):
+    """Integer h*-threshold selection (candidates._hstar_finish) ==
+    scan path on identical engine-shaped inputs: rows hstar marks exact
+    must match the scan's ranked slices; at generous block budgets every
+    row must be exact."""
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.search.candidates import (
+        candidates_bitmap, candidates_bitmap_mxu,
+    )
+
+    host, engine = host_engine
+    assert host.uniform_weights
+    di = host.device
+    bm, _ = host.bitmap_tables()
+    pt, xt = host.prim_tables()
+    words = host.key_strings.tolist()
+    rng = random.Random(13)
+    queries = []
+    for i in range(8):
+        w = words[rng.randrange(len(words))]
+        queries.append(w if i % 2 else w[:-1] + "x")
+    items = []
+    for pos, q in enumerate(queries):
+        qnorm, qlen = engine._normalize_query(q)
+        promo = host.promo_key_ids(qnorm, qlen)
+        items.append((pos, qnorm, qlen, promo))
+    b, qtok, qlens, slots_a, nqg_a, use_short, _ = engine._prep_rows(
+        items, 32
+    )
+    promo_a = np.full((b, engine.PROMO_KEYS), -1, np.int32)
+    for r, it in enumerate(items):
+        promo_a[r, : it[3].size] = it[3]
+    promo_t, promo_w = engine._promo_tables(promo_a)
+    lim = np.full((b,), 10, np.int32)
+    args = (
+        di, bm, pt, xt, jnp.asarray(qtok), jnp.asarray(qlens),
+        jnp.asarray(slots_a), jnp.asarray(nqg_a), jnp.asarray(use_short),
+        jnp.asarray(promo_a), jnp.asarray(promo_t), jnp.asarray(promo_w),
+        jnp.asarray(lim), np.float32(0.25),
+    )
+    # generous budgets AND a covering n_cand: every row exact, full parity
+    base = dict(compute_short=True, n_cand=4096, n_edge=32, top_k=16)
+    want = [np.asarray(x) for x in candidates_bitmap(*args, **base)]
+    got = [np.asarray(x) for x in candidates_bitmap_mxu(
+        *args, interpret=True, hstar=True, kb1=64, kb2=64, **base
+    )]
+    assert got[4].all(), "generous budgets must cover every row"
+    np.testing.assert_array_equal(got[0], want[0])
+    for r in range(b):
+        n = min(int(got[0][r]), got[1].shape[1])
+        gs = sorted(zip(np.round(got[2][r][:n], 5), got[3][r][:n]))
+        ws = sorted(zip(np.round(want[2][r][:n], 5), want[3][r][:n]))
+        assert gs == ws, (queries[r], gs, ws)
+    # starved budgets + narrow n_cand: exact rows still match; inexact
+    # rows are allowed (the engine escalates them)
+    base["n_cand"] = 64
+    got2 = [np.asarray(x) for x in candidates_bitmap_mxu(
+        *args, interpret=True, hstar=True, kb1=2, kb2=4, **base
+    )]
+    for r in range(b):
+        if not got2[4][r]:
+            continue
+        # guard-pass (not covered) rows clamp count to limit; covered rows
+        # report the true reached count — min(count, limit) matches either
+        # way, which is all the host emits
+        assert min(int(got2[0][r]), 10) == min(int(want[0][r]), 10)
+        n = min(int(got2[0][r]), 10, got2[1].shape[1])
+        gs = sorted(zip(np.round(got2[2][r][:n], 5), got2[3][r][:n]))
+        ws = sorted(zip(np.round(want[2][r][:n], 5), want[3][r][:n]))
+        assert gs == ws, (queries[r], gs, ws)
+
+
+def test_engine_hstar_parity(monkeypatch):
+    """h* selection through the ENGINE (kernel forced via interpret mode):
+    results match the dense path exactly and routing records hstar."""
+    import functools
+
+    import jax
+
+    from stringsearchlib_tpu.search import candidates as cmod
+    from stringsearchlib_tpu.search import engine as emod
+
+    host = build_index(_corpus(3000, seed=31), 1, None, IndexConfig())
+    assert host.uniform_weights
+    eng = SearchEngine(host)
+    eng.GM_BUDGET = 0
+    used = []
+    wrapped = functools.partial(cmod.candidates_bitmap_mxu, interpret=True)
+
+    def recording(*a, **kw):
+        used.append(bool(kw.get("hstar")))
+        return wrapped(*a, **kw)
+
+    monkeypatch.setattr(cmod, "candidates_bitmap_mxu", recording)
+    monkeypatch.setattr(emod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(eng, "CAND_MIN_TERMS", 100)
+    monkeypatch.setattr(eng, "HSTAR_KB1", 4)
+    monkeypatch.setattr(eng, "HSTAR_KB2", 8)
+    words = host.key_strings.tolist()
+    rng = random.Random(5)
+    queries = []
+    for i in range(24):
+        w = words[rng.randrange(len(words))]
+        j = rng.randrange(max(len(w) - 1, 1))
+        queries.append(w if i % 3 == 0 else w[:j] + "x" + w[j + 1:])
+    got = eng.search_batch(queries, 0.25, 10, mode="candidates")
+    assert any(used), "h* selection never dispatched"
+    monkeypatch.setattr(emod.jax, "default_backend", jax.default_backend)
+    want = eng.search_batch(queries, 0.25, 10, mode="dense")
+    for q, g, w in zip(queries, got, want):
+        gs = sorted((round(s, 5), len(k)) for k, s in zip(*g))
+        ws = sorted((round(s, 5), len(k)) for k, s in zip(*w))
+        assert gs == ws, (q, g, w)
+
+
+def test_hstar_gated_off_for_weighted_index(monkeypatch):
+    """Non-uniform weights must keep h* selection off (its guard bound is
+    only sound when every edge weight == 1)."""
+    import functools
+
+    from stringsearchlib_tpu.search import candidates as cmod
+    from stringsearchlib_tpu.search import engine as emod
+
+    words = _corpus(1200, seed=33)
+    w = np.ones(len(words))
+    w[::7] = 0.5
+    host = build_index(words, 1, w, IndexConfig())
+    assert not host.uniform_weights
+    eng = SearchEngine(host)
+    eng.GM_BUDGET = 0
+    monkeypatch.setattr(
+        cmod, "candidates_bitmap_mxu",
+        functools.partial(cmod.candidates_bitmap_mxu, interpret=True),
+    )
+    monkeypatch.setattr(emod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(eng, "CAND_MIN_TERMS", 100)
+    eng.search_batch([words[0][:-1] + "x"], 0.25, 10, mode="candidates")
+    assert eng.last_routing["variant"] == "bitmap_kernel"
+    assert eng.last_routing["hstar"] is False
