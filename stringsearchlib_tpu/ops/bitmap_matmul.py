@@ -98,19 +98,59 @@ def fits_vmem(b: int, g_pad: int) -> bool:
 def _make_kernel(int8_dots, gtiles: int):
     # int8_dots: False = bf16 dots, True = int8, "int4" = s4 x s4 -> s32
     # (v5e runs int4 MACs at 2x the int8 rate; exact while query gram
-    # multiplicities stay <= 7, which the engine checks per batch)
+    # multiplicities stay <= 7, which the engine checks per batch),
+    # "pair" = TWO bit planes per int8 operand (bit_p + 32 * bit_{p+4}):
+    # one dot yields h_p + 32 * h_{p+4}, exact while the query's total
+    # gram windows <= 31 (then h_p < 32 and the fields cannot carry), so
+    # 4 MXU dots per byte tile instead of 8 — the MXU roofline doubles.
     if int8_dots == "int4":
         dot_t, acc_t = jnp.int4, jnp.int32
     elif int8_dots:
         dot_t, acc_t = jnp.int8, jnp.int32
     else:
         dot_t, acc_t = jnp.bfloat16, jnp.float32
+    paired = int8_dots == "pair"
+
+    def _store(out_ref, acc, sl, gi):
+        if gtiles == 1:
+            out_ref[:, sl] = acc.astype(jnp.int8)
+        else:
+
+            @pl.when(gi == 0)
+            def _init():
+                out_ref[:, sl] = acc.astype(jnp.int8)
+
+            # Mosaic has no i8 vector add ("only vector<i16>/<i32>"):
+            # widen the resident out block to i32, add, narrow back.
+            # Exact: totals stay <= n_qgrams <= 127.
+            @pl.when(gi > 0)
+            def _accum():
+                out_ref[:, sl] = (
+                    out_ref[:, sl].astype(jnp.int32) + acc.astype(jnp.int32)
+                ).astype(jnp.int8)
 
     def kernel(q_ref, bm_ref, out_ref):
         q = q_ref[:]  # (B, Gblk)
         if dot_t == jnp.int4:
             q = q.astype(jnp.int4)
         t = bm_ref[:]  # (Gblk, BLKB) int8 (packed bits)
+        gi = pl.program_id(1) if gtiles > 1 else 0
+        if paired:
+            for p in range(4):
+                lo = ((t & np.int8(1 << p)) != 0).astype(jnp.int8)
+                hb = np.int8(-128 if p + 4 == 7 else 1 << (p + 4))
+                hi = ((t & hb) != 0).astype(jnp.int8)
+                op = lo + hi * np.int8(32)
+                acc = jnp.dot(q, op, preferred_element_type=jnp.int32)
+                # per-G-tile partials unpack BEFORE the int8 store: each
+                # field's partial is <= its total <= 31, so the fields
+                # never carry and the int8 accumulation stays exact
+                _store(out_ref, acc & 31, slice(p * BLKB, (p + 1) * BLKB), gi)
+                _store(
+                    out_ref, acc >> 5,
+                    slice((p + 4) * BLKB, (p + 5) * BLKB), gi,
+                )
+            return
         for p in range(8):
             # sign bit via and+ne: Mosaic lacks signed cmpi on i8
             bit = (t & np.int8(-128 if p == 7 else 1 << p)) != 0
@@ -121,25 +161,7 @@ def _make_kernel(int8_dots, gtiles: int):
             else:
                 op = bit.astype(dot_t)
             acc = jnp.dot(q, op, preferred_element_type=acc_t)
-            sl = slice(p * BLKB, (p + 1) * BLKB)
-            if gtiles == 1:
-                out_ref[:, sl] = acc.astype(jnp.int8)
-            else:
-                gi = pl.program_id(1)
-
-                @pl.when(gi == 0)
-                def _init(acc=acc, sl=sl):
-                    out_ref[:, sl] = acc.astype(jnp.int8)
-
-                # Mosaic has no i8 vector add ("only vector<i16>/<i32>"):
-                # widen the resident out block to i32, add, narrow back.
-                # Exact: totals stay <= n_qgrams <= 127.
-                @pl.when(gi > 0)
-                def _accum(acc=acc, sl=sl):
-                    out_ref[:, sl] = (
-                        out_ref[:, sl].astype(jnp.int32)
-                        + acc.astype(jnp.int32)
-                    ).astype(jnp.int8)
+            _store(out_ref, acc, slice(p * BLKB, (p + 1) * BLKB), gi)
 
     return kernel
 

@@ -986,6 +986,7 @@ def candidates_bitmap_mxu_impl(
     hstar: bool = False,
     kb1: int = 512,
     kb2: int = 512,
+    pair_dots: bool = False,
 ):
     """EXACT hit counts via the Pallas unpack-matmul kernel
     (ops.bitmap_matmul): the packed incidence streams through VMEM once
@@ -1008,11 +1009,12 @@ def candidates_bitmap_mxu_impl(
     )(qslots)
     # int8 MXU dots: v5e does 2x the int8 MACs of bf16 (measured 93 vs
     # 29 GB/s of packed table at B=256); si8 x si8 -> si32 is exact
+    dots = "pair" if pair_dots else True
     if hstar:
         from ..ops.bitmap_matmul import bitmap_hits_bmax
 
         hits, hmax = bitmap_hits_bmax(
-            qcnt, bitmap, interpret=interpret, int8_dots=True
+            qcnt, bitmap, interpret=interpret, int8_dots=dots
         )
         return _hstar_finish(
             di, pt, xt, hits, hmax, qtokens, qlens, n_qgrams, use_short,
@@ -1029,12 +1031,12 @@ def candidates_bitmap_mxu_impl(
             from ..ops.bitmap_matmul import bitmap_hits_bmax
 
             hits, hmax = bitmap_hits_bmax(
-                qcnt, bitmap, interpret=interpret, int8_dots=True
+                qcnt, bitmap, interpret=interpret, int8_dots=dots
             )
             blk = _BLK
         else:
             hits = bitmap_hits(
-                qcnt, bitmap, interpret=interpret, int8_dots=True
+                qcnt, bitmap, interpret=interpret, int8_dots=dots
             )
             hmax = None
             blk = bmax_blk
@@ -1046,7 +1048,7 @@ def candidates_bitmap_mxu_impl(
             top_k=top_k, with_bound=with_bound, hmax=hmax, blk=blk,
             approx=approx, kb_lanes=kb_lanes,
         )
-    hits = bitmap_hits(qcnt, bitmap, interpret=interpret, int8_dots=True)
+    hits = bitmap_hits(qcnt, bitmap, interpret=interpret, int8_dots=dots)
     return _dense_hits_finish(
         di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
         promo_terms, promo_weights, limits, threshold,
@@ -1061,7 +1063,7 @@ candidates_bitmap_mxu = functools.partial(
     static_argnames=(
         "compute_short", "n_cand", "n_edge", "top_k",
         "block_sel", "with_bound", "interpret", "fused_bmax", "bmax_blk",
-        "approx", "kb_lanes", "hstar", "kb1", "kb2",
+        "approx", "kb_lanes", "hstar", "kb1", "kb2", "pair_dots",
     ),
 )(candidates_bitmap_mxu_impl)
 

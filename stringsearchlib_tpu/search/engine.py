@@ -866,6 +866,10 @@ class SearchEngine:
     HSTAR_SEL = True
     HSTAR_KB1 = 1024  # 1024-lane coarse block budget
     HSTAR_KB2 = 1024  # 128-lane block budget (gather width = KB2 * 128)
+    # paired bit planes in the bitmap kernel (ops.bitmap_matmul "pair"):
+    # halves the MXU dots per byte tile; exact while total query windows
+    # <= 31 (gated per batch on the slot-matrix width)
+    BITMAP_PAIR_DOTS = True
     # first candidate pass MAY select with jax.lax.approx_max_k + a sound
     # miss check (candidates.topk_guarded): the raw call is 1.5-2.4x
     # faster than exact chunked top-k on v5e, but measured on the real
@@ -1151,6 +1155,10 @@ class SearchEngine:
                 compact_rows=(gp_eff if bm_rows is not None else 0),
                 virtual=bm_virtual,
                 hstar=bool(bm_hstar),
+                pair_dots=bool(
+                    bm_kernel and self.BITMAP_PAIR_DOTS
+                    and bm_slots.shape[1] <= 31
+                ),
             )
             if bm_hstar:
                 self.last_routing.update(kb1=hs_kb1, kb2=hs_kb2)
@@ -1199,6 +1207,12 @@ class SearchEngine:
                     kw["fused_bmax"] = bm_fused
                     kw["bmax_blk"] = self.BITMAP_BMAX_BLK
                     kw["kb_lanes"] = self.BITMAP_KB_LANES
+                    # two bit planes per int8 operand (2x MXU rate): exact
+                    # while a query's total gram windows <= 31, which the
+                    # slot-matrix width bounds statically
+                    kw["pair_dots"] = (
+                        self.BITMAP_PAIR_DOTS and bm_slots.shape[1] <= 31
+                    )
                     if bm_hstar:
                         kw["hstar"] = True
                         kw["kb1"] = hs_kb1

@@ -517,3 +517,56 @@ def test_hstar_gated_off_for_weighted_index(monkeypatch):
     eng.search_batch([words[0][:-1] + "x"], 0.25, 10, mode="candidates")
     assert eng.last_routing["variant"] == "bitmap_kernel"
     assert eng.last_routing["hstar"] is False
+
+
+def test_bitmap_kernel_pair_dots(host_engine):
+    """Two bit planes per int8 operand (int8_dots="pair") must reproduce
+    the reference counts exactly while total query windows <= 31."""
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.ops.bitmap_matmul import (
+        bitmap_hits, bitmap_hits_bmax, bitmap_hits_ref,
+    )
+
+    host, _ = host_engine
+    bm, _ = host.bitmap_tables()
+    gp = bm.shape[0]
+    rng = np.random.default_rng(17)
+    qcnt = np.zeros((16, gp), np.float32)
+    for r in range(16):
+        # total windows <= 31 (the pair-pack exactness condition)
+        cols = rng.choice(gp, size=12, replace=False)
+        qcnt[r, cols] = rng.integers(1, 3, size=12)
+        assert qcnt[r].sum() <= 31
+    q = jnp.asarray(qcnt, dtype=jnp.bfloat16)
+    want = np.asarray(bitmap_hits_ref(q, bm))
+    got = np.asarray(bitmap_hits(q, bm, interpret=True, int8_dots="pair"))
+    np.testing.assert_array_equal(got, want)
+    hits2, bmax = bitmap_hits_bmax(q, bm, interpret=True, int8_dots="pair")
+    np.testing.assert_array_equal(np.asarray(hits2), want)
+
+
+def test_bitmap_kernel_pair_dots_gtiled(monkeypatch):
+    """Paired dots under G-tiling: per-tile partials unpack before the
+    int8 accumulation, so multi-tile totals stay exact."""
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.ops import bitmap_matmul as bmod
+
+    host = build_index(_corpus(1500, seed=41), 1, None, IndexConfig())
+    bm, _ = host.bitmap_tables()
+    gp = bm.shape[0]
+    monkeypatch.setattr(bmod, "SBLK_MAX", 128)
+    monkeypatch.setattr(bmod, "GBLK", 128)
+    assert gp % 128 == 0 and gp // 128 > 1
+    rng = np.random.default_rng(23)
+    qcnt = np.zeros((8, gp), np.float32)
+    for r in range(8):
+        cols = rng.choice(gp, size=10, replace=False)
+        qcnt[r, cols] = rng.integers(1, 3, size=10)
+    q = jnp.asarray(qcnt, dtype=jnp.bfloat16)
+    want = np.asarray(bmod.bitmap_hits_ref(q, bm))
+    got = np.asarray(
+        bmod.bitmap_hits(q, bm, interpret=True, int8_dots="pair")
+    )
+    np.testing.assert_array_equal(got, want)
