@@ -168,3 +168,207 @@ def function_table():
     return {
         name: (fn, ct.cast(fn, ct.c_void_p).value) for name, fn in fns.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Documented README surface: guid-string-keyed, narrow + wide (wchar_t)
+# ---------------------------------------------------------------------------
+#
+# The reference's README documents a SECOND family the compiled DLL never
+# exported (Readme.md:31-231): guid-keyed `index`/`indexW`/`index2D`/
+# `index2DW` with a gSize parameter, `search`/`searchW` with a uint32_t*
+# out-count, `release`/`releaseW`/`dispose`/`disposeW`/`getSize[W]`/
+# `getLibSize[W]`.  api.capi implements them all; these callbacks give
+# that family a binary entry point too.  wchar_t maps to the platform
+# wide char (UTF-32 on Linux), matching the W variants' UTF-32 intent.
+
+_INDEX_G_SIG = ct.CFUNCTYPE(
+    None, ct.c_char_p, ct.POINTER(ct.c_char_p), ct.c_uint64, ct.c_uint16,
+    ct.POINTER(ct.c_float), ct.c_uint16,
+)
+_INDEXW_G_SIG = ct.CFUNCTYPE(
+    None, ct.c_char_p, ct.POINTER(ct.c_wchar_p), ct.c_uint64, ct.c_uint16,
+    ct.POINTER(ct.c_float), ct.c_uint16,
+)
+_INDEX2D_G_SIG = ct.CFUNCTYPE(
+    None, ct.c_char_p, ct.POINTER(ct.POINTER(ct.c_char_p)), ct.c_uint64,
+    ct.c_uint16, ct.POINTER(ct.POINTER(ct.c_float)), ct.c_uint16,
+)
+_INDEX2DW_G_SIG = ct.CFUNCTYPE(
+    None, ct.c_char_p, ct.POINTER(ct.POINTER(ct.c_wchar_p)), ct.c_uint64,
+    ct.c_uint16, ct.POINTER(ct.POINTER(ct.c_float)), ct.c_uint16,
+)
+_SEARCH_G_SIG = ct.CFUNCTYPE(
+    None, ct.c_char_p, ct.c_char_p, ct.POINTER(ct.POINTER(ct.c_char_p)),
+    ct.POINTER(ct.c_uint32), ct.c_float, ct.c_uint32,
+)
+_SEARCHW_G_SIG = ct.CFUNCTYPE(
+    None, ct.c_char_p, ct.c_wchar_p, ct.POINTER(ct.POINTER(ct.c_wchar_p)),
+    ct.POINTER(ct.c_uint32), ct.c_float, ct.c_uint32,
+)
+_RELEASE_G_SIG = ct.CFUNCTYPE(
+    None, ct.c_char_p, ct.POINTER(ct.POINTER(ct.c_char_p)), ct.c_uint64
+)
+_RELEASEW_G_SIG = ct.CFUNCTYPE(
+    None, ct.c_char_p, ct.POINTER(ct.POINTER(ct.c_wchar_p)), ct.c_uint64
+)
+_DISPOSE_G_SIG = ct.CFUNCTYPE(None, ct.c_char_p)
+_GETSIZE_G_SIG = ct.CFUNCTYPE(ct.c_uint64, ct.c_char_p)
+
+
+def _guid(b) -> str:
+    return _decode(b) or ""
+
+
+def _read_weights_1d(weight, size):
+    if not weight:
+        return None
+    return [float(weight[i]) for i in range(size)]
+
+
+@_INDEX_G_SIG
+def index_guid(guid, key, size, rowSize, weight, gSize):
+    # ``size`` counts the FLATTENED words array (Readme.md:81 "size of
+    # the words"), same as dllmain's indexN; weight is per flattened
+    # element (nGramSearch.hpp:141-148)
+    words = [_decode(key[i]) for i in range(size)]
+    capi.index(
+        _guid(guid), words, rowSize=int(rowSize),
+        weight=_read_weights_1d(weight, size),
+        gSize=int(gSize) or 3,
+    )
+
+
+@_INDEXW_G_SIG
+def indexW_guid(guid, key, size, rowSize, weight, gSize):
+    words = [key[i] for i in range(size)]
+    capi.indexW(
+        _guid(guid), words, rowSize=int(rowSize),
+        weight=_read_weights_1d(weight, size),
+        gSize=int(gSize) or 3,
+    )
+
+
+def _rows_2d(key, size, rowSize, weight):
+    rows, wrows = [], []
+    for i in range(size):
+        row = key[i]
+        rows.append([row[j] for j in range(rowSize)])
+        if weight:
+            wrow = weight[i]
+            wrows.append([float(wrow[j]) for j in range(rowSize)])
+    return rows, (wrows if weight else None)
+
+
+@_INDEX2D_G_SIG
+def index2D_guid(guid, key, size, rowSize, weight, gSize):
+    rows, wrows = _rows_2d(key, size, rowSize, weight)
+    rows = [[_decode(c) for c in r] for r in rows]
+    capi.index2D(
+        _guid(guid), rows, rowSize=int(rowSize), weight=wrows,
+        gSize=int(gSize) or 3,
+    )
+
+
+@_INDEX2DW_G_SIG
+def index2DW_guid(guid, key, size, rowSize, weight, gSize):
+    rows, wrows = _rows_2d(key, size, rowSize, weight)
+    capi.index2DW(
+        _guid(guid), rows, rowSize=int(rowSize), weight=wrows,
+        gSize=int(gSize) or 3,
+    )
+
+
+@_SEARCH_G_SIG
+def search_guid(guid, query, results, size, threshold, limit):
+    strings = capi.search(
+        _guid(guid), _decode(query) or "", float(threshold), int(limit)
+    )
+    if size:
+        size[0] = len(strings)
+    if not results:
+        return
+    arr, bufs = _alloc_results(strings)
+    results[0] = ct.cast(arr, ct.POINTER(ct.c_char_p))
+    with _LOCK:
+        _LIVE[ct.addressof(arr)] = (arr, bufs)
+
+
+@_SEARCHW_G_SIG
+def searchW_guid(guid, query, results, size, threshold, limit):
+    strings = capi.searchW(
+        _guid(guid), query or "", float(threshold), int(limit)
+    )
+    if size:
+        size[0] = len(strings)
+    if not results:
+        return
+    n = len(strings)
+    arr = (ct.c_wchar_p * (n + 1))()
+    bufs = []
+    for i, s in enumerate(strings):
+        b = ct.create_unicode_buffer(s)
+        bufs.append(b)
+        arr[i] = ct.cast(b, ct.c_wchar_p)
+    arr[n] = None
+    results[0] = ct.cast(arr, ct.POINTER(ct.c_wchar_p))
+    with _LOCK:
+        _LIVE[ct.addressof(arr)] = (arr, bufs)
+
+
+@_RELEASE_G_SIG
+def release_guid(guid, results, size):
+    with _LOCK:
+        if results and results[0]:
+            _LIVE.pop(ct.addressof(results[0].contents), None)
+
+
+@_RELEASEW_G_SIG
+def releaseW_guid(guid, results, size):
+    with _LOCK:
+        if results and results[0]:
+            _LIVE.pop(ct.addressof(results[0].contents), None)
+
+
+@_DISPOSE_G_SIG
+def dispose_guid(guid):
+    capi.dispose(_guid(guid))
+
+
+@_DISPOSE_G_SIG
+def disposeW_guid(guid):
+    capi.disposeW(_guid(guid))
+
+
+@_GETSIZE_G_SIG
+def getSize_guid(guid):
+    return capi.getSize(_guid(guid))
+
+
+@_GETSIZE_G_SIG
+def getLibSize_guid(guid):
+    return capi.getLibSize(_guid(guid))
+
+
+def function_table_guid():
+    """The README-documented guid-keyed family (narrow + wide), under its
+    documented export names (Readme.md:31-231)."""
+    fns = {
+        "index": index_guid,
+        "indexW": indexW_guid,
+        "index2D": index2D_guid,
+        "index2DW": index2DW_guid,
+        "search": search_guid,
+        "searchW": searchW_guid,
+        "release": release_guid,
+        "releaseW": releaseW_guid,
+        "dispose": dispose_guid,
+        "disposeW": disposeW_guid,
+        "getSize": getSize_guid,
+        "getSizeW": getSize_guid,
+        "getLibSize": getLibSize_guid,
+        "getLibSizeW": getLibSize_guid,
+    }
+    return {
+        name: (fn, ct.cast(fn, ct.c_void_p).value) for name, fn in fns.items()
+    }

@@ -1,0 +1,170 @@
+"""Stage-level hardware profile of the 10M bitmap+h* path (v5e).
+
+Times, with varied operands (the tunnel serves identical-argument
+repeats from a result cache):
+  - row-compaction gather (2816 -> 512 rows)
+  - bitmap_hits_bmax kernel alone: int8 vs paired dots
+  - full candidates_bitmap_mxu: hstar vs bounds finish
+  - the h* histogram pass in isolation
+
+Usage: python tools/probe_hstar_stages.py [n_keys] [B]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from bench import _mutate, _product_names  # noqa: E402
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def timeit(name, fn, reps=3):
+    import jax
+
+    fn(0)  # compile
+    ts = []
+    for r in range(1, reps + 1):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(r))
+        ts.append(time.perf_counter() - t0)
+    ms = float(np.median(ts) * 1e3)
+    log(f"{name}: {ms:.1f} ms (reps {['%.1f' % (t*1e3) for t in ts]})")
+    return ms
+
+
+def main():
+    n_keys = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    bsz = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+
+    import jax
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.config import IndexConfig
+    from stringsearchlib_tpu.index.build import build_index
+    from stringsearchlib_tpu.search.engine import SearchEngine, _gather_rows
+
+    log(f"devices: {jax.devices()}")
+    words = _product_names(n_keys, seed=2)
+    rng = random.Random(7)
+    queries = [_mutate(rng, rng.choice(words)) for _ in range(bsz)]
+
+    t0 = time.time()
+    host = build_index(words, 1, None, IndexConfig())
+    jax.device_get(host.device.gram_ptr[:1])
+    log(f"build {time.time()-t0:.1f}s")
+    engine = SearchEngine(host)
+    engine.GM_BUDGET = 0
+    bm = host.bitmap_tables(engine.BITMAP_BUDGET)
+    di = host.device
+
+    # engine-shaped batch
+    items = []
+    for pos, q in enumerate(queries):
+        qnorm, qlen = engine._normalize_query(q)
+        promo = host.promo_key_ids(qnorm, qlen)
+        items.append((pos, qnorm, qlen, promo))
+    b, qtok, qlens, slots, nqg, use_short, _ = engine._prep_rows(items, 32)
+    comp = engine._compact_gram_rows(slots, int(bm[0].shape[0]))
+    rows, cslots, gp_c = comp
+    log(f"compact rows: {gp_c} (union {np.unique(slots[slots>=0]).size})")
+
+    table_full = bm[0]
+    timeit("row-compaction gather", lambda r: _gather_rows(
+        table_full, jnp.asarray((rows + r) % rows.max())
+    ))
+    ctable = _gather_rows(table_full, jnp.asarray(rows))
+    jax.block_until_ready(ctable)
+
+    from stringsearchlib_tpu.ops.bitmap_matmul import bitmap_hits_bmax
+
+    gp = int(ctable.shape[0])
+    qcnt_np = np.zeros((bsz, gp), np.float32)
+    for r in range(bsz):
+        sl = cslots[r][cslots[r] >= 0]
+        np.add.at(qcnt_np[r], sl, 1.0)
+
+    def k_int8(r):
+        q = jnp.asarray(
+            np.roll(qcnt_np, r, axis=0), dtype=jnp.bfloat16
+        )
+        return bitmap_hits_bmax(q, ctable, int8_dots=True)
+
+    def k_pair(r):
+        q = jnp.asarray(
+            np.roll(qcnt_np, r, axis=0), dtype=jnp.bfloat16
+        )
+        return bitmap_hits_bmax(q, ctable, int8_dots="pair")
+
+    t8 = timeit("kernel int8 (compact)", k_int8)
+    tp = timeit("kernel pair (compact)", k_pair)
+    packed_mb = gp * int(ctable.shape[1]) / 1e6
+    log(f"packed compact table {packed_mb:.0f} MB -> "
+        f"{packed_mb/t8*1000/1000:.0f} / {packed_mb/tp*1000/1000:.0f} GB/s")
+
+    # h* histogram in isolation
+    hits, hmax = jax.block_until_ready(k_int8(0))
+
+    @jax.jit
+    def hist(hm, off):
+        vals = np.arange(1, 31, dtype=np.int8)
+        return jnp.sum(
+            ((hm + off)[:, :, None] >= vals[None, None, :]).astype(jnp.int32),
+            axis=1,
+        )
+
+    timeit("cnt128 histogram", lambda r: hist(hmax, np.int8(r % 2)))
+
+    # full front ends
+    from stringsearchlib_tpu.search.candidates import (
+        candidates_bitmap_mxu,
+    )
+
+    pt, xt = host.prim_tables()
+    promo_a = np.full((b, engine.PROMO_KEYS), -1, np.int32)
+    for r, it in enumerate(items):
+        promo_a[r, : it[3].size] = it[3]
+    promo_t, promo_w = engine._promo_tables(promo_a)
+    lim = np.full((b,), 100, np.int32)
+
+    def front(r, **kw):
+        q = np.roll(qtok, r, axis=0)
+        s = np.roll(cslots, r, axis=0)
+        return candidates_bitmap_mxu(
+            di, ctable, pt, xt, jnp.asarray(q),
+            jnp.asarray(np.roll(qlens, r)), jnp.asarray(s),
+            jnp.asarray(np.roll(nqg, r)),
+            jnp.asarray(np.roll(use_short, r)),
+            jnp.asarray(np.roll(promo_a, r, axis=0)),
+            jnp.asarray(np.roll(promo_t, r, axis=0)),
+            jnp.asarray(np.roll(promo_w, r, axis=0)),
+            jnp.asarray(lim), np.float32(0.3),
+            compute_short=bool(use_short.any()), n_edge=16384,
+            top_k=128, **kw,
+        )
+
+    timeit("front hstar+pair", lambda r: front(
+        r, n_cand=1024, hstar=True, kb1=1024, kb2=1024, pair_dots=True,
+        fused_bmax=True,
+    ))
+    timeit("front hstar", lambda r: front(
+        r, n_cand=1024, hstar=True, kb1=1024, kb2=1024, fused_bmax=True,
+    ))
+    timeit("front bounds", lambda r: front(
+        r, n_cand=1024, block_sel=True, fused_bmax=True,
+    ))
+
+
+if __name__ == "__main__":
+    main()
