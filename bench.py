@@ -142,11 +142,17 @@ def _run_config(words, n_queries, threshold, limit, reps, singles=0,
     # reflects steady-state device throughput
     per_q = float(np.percentile(np.array(lat), 50))
 
+    from stringsearchlib_tpu.index import build as buildmod
+
     out = {
         "qps": round(1.0 / per_q, 2),
         "p50_latency_ms": round(per_q * 1e3, 3),
         "build_s": round(build_s, 1),
         "build_mb_per_s": round(total_bytes / 1e6 / build_s, 2),
+        # per-stage build wall clock (index.build.LAST_BUILD_BREAKDOWN):
+        # BASELINE tracks build MB/s and round 3's 10M regression was
+        # unexplained because no artifact showed where the time went
+        "build_breakdown": dict(buildmod.LAST_BUILD_BREAKDOWN),
         "n_keys": len(words),
         "n_grams": host.n_grams,
         "hits_path": "matmul" if gm is not None else (

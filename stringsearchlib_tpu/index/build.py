@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
@@ -855,6 +856,12 @@ def _host_postings(lt, ll, gram_size, wide, vocab):
 # device round trip + per-shape compile
 DEVICE_POSTINGS_MIN = 50_000
 
+# wall-clock breakdown of the most recent build_index call (seconds per
+# stage) - BASELINE tracks index build MB/s and the round-3 10M build
+# regressed unexplained (175.9 s vs round 2's 136.6); the bench records
+# this dict so where the time goes is always in the artifact
+LAST_BUILD_BREAKDOWN: dict = {}
+
 
 def _want_device_postings(config, n_long, device_postings):
     if device_postings is not None:
@@ -945,6 +952,10 @@ def _build_from_native(
     w_arg = None
     if weights is not None:
         w_arg = [float(x) for x in weights]
+    bd = LAST_BUILD_BREAKDOWN
+    bd.clear()
+    t_total = time.perf_counter()
+    t0 = time.perf_counter()
     try:
         # the C++ postings pass (shingle + sort of tens of millions of
         # pairs at scale) is skipped: postings rebuild on device or via
@@ -960,14 +971,18 @@ def _build_from_native(
             bytes(valid_chars),
         )
         native_postings = True
+    bd["native_cpp"] = round(time.perf_counter() - t0, 2)
     tables = textlib.TextTables(valid_chars, wide=False)
     dev, up = _converters(to_device)
 
+    t0 = time.perf_counter()
     # length-sort the long tier (same stable permutation as _build_numpy:
     # the native builder assigns first-occurrence ids, so sorting its
     # length vector stably lands on the identical order).  Enables the
     # width-bucketed brute DP (search.editdist.dp_match_tiered).
     _long_length_sort_native(d)
+    bd["long_length_sort"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
 
     # canonical edge order: sorted by (term, key) for the term->edge CSR
     et, ek, ew = d["edge_term"], d["edge_key"], d["edge_weight"]
@@ -979,6 +994,8 @@ def _build_from_native(
     ke_ptr, ke_term, ke_w, ke_counts = _key_edge_csr(
         et, ek, ew, d["key_lengths"].shape[0]
     )
+    bd["edge_csr"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
 
     st = _pad_width(d["short_tokens"], config.short_pad)
     lt = _pad_width(d["long_tokens"], config.gram_size)
@@ -987,11 +1004,19 @@ def _build_from_native(
     n_long_d = int(d["long_lengths"].shape[0])
     if (to_device and n_long_d
             and _want_device_postings(config, n_long_d, device_postings)):
+        import jax as _jax
+
         from .device_build import build_postings_device
 
+        _jax.block_until_ready(lt_dev)
+        bd["token_upload"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
         gram_terms_dev, gram_ptr_h, gram_ids_h = build_postings_device(
             lt_dev, ll_dev, config.gram_size
         )
+        _jax.block_until_ready(gram_terms_dev)
+        bd["device_postings"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
         gram_ptr_dev = dev(gram_ptr_h)
     else:
         if not native_postings:
@@ -1004,6 +1029,8 @@ def _build_from_native(
             gram_ids_h = d["gram_ids"]
         gram_terms_dev = dev(gt_h)
         gram_ptr_dev = dev(gram_ptr_h)
+        bd["host_postings"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
     key_tokens, key_lens = d["key_tokens"], d["key_lengths"]
     if key_tokens.shape[0]:
         knorm, knorm_len = textlib.normalize_matrix(
@@ -1036,6 +1063,14 @@ def _build_from_native(
         key_edge_weight=dev(ke_w),
         key_len=dev(key_lens.astype(np.int32)),
     )
+    if to_device:
+        import jax as _jax
+
+        _jax.block_until_ready(
+            (device.edge_term, device.gram_terms, device.short_tokens)
+        )
+    bd["norm_and_uploads"] = round(time.perf_counter() - t0, 2)
+    bd["total"] = round(time.perf_counter() - t_total, 2)
     return HostIndex(
         config=config,
         tables=tables,

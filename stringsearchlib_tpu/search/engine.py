@@ -676,12 +676,17 @@ class SearchEngine:
         matrix, gp_c) or None when the batch's gram union is too large a
         fraction of the table for the gather to pay (the compact pass
         costs ~3 reads/writes of gp_c rows vs 1 stream of gp_rows).
-        gp_c buckets to a power of two (>= 512) so kernel variants stay
-        few; pow2 >= 8192 is a GBLK multiple, satisfying g_padding."""
+        gp_c buckets to a power of two or 1.5x one (>= 512) so kernel
+        variants stay few (a 513-row union must not pad to 1024 and lose
+        the 3x rule at gp = 2816 - the 10M headline's exact shape); all
+        buckets are 128-multiples, and >= 8192 they are GBLK multiples,
+        satisfying g_padding."""
         used = np.unique(slots[slots >= 0])
         if used.size == 0:
             return None
         gp_c = _next_pow2(int(used.size), 512)
+        if used.size <= (gp_c // 4) * 3 and gp_c >= 1024:
+            gp_c = (gp_c // 4) * 3
         if 3 * gp_c >= gp_rows:
             return None
         rows = np.zeros(gp_c, np.int32)

@@ -77,7 +77,16 @@ def main():
         items.append((pos, qnorm, qlen, promo))
     b, qtok, qlens, slots, nqg, use_short, _ = engine._prep_rows(items, 32)
     comp = engine._compact_gram_rows(slots, int(bm[0].shape[0]))
-    rows, cslots, gp_c = comp
+    if comp is None:  # union too large for the engine's 3x rule: force it
+        used = np.unique(slots[slots >= 0])
+        gp_c = -(-int(used.size) // 128) * 128
+        rows = np.zeros(gp_c, np.int32)
+        rows[: used.size] = used
+        cslots = np.full(slots.shape, -1, np.int32)
+        m = slots >= 0
+        cslots[m] = np.searchsorted(used, slots[m]).astype(np.int32)
+    else:
+        rows, cslots, gp_c = comp
     log(f"compact rows: {gp_c} (union {np.unique(slots[slots>=0]).size})")
 
     table_full = bm[0]
