@@ -137,10 +137,12 @@ def _make_kernel(int8_dots, gtiles: int):
         gi = pl.program_id(1) if gtiles > 1 else 0
         if paired:
             for p in range(4):
-                lo = ((t & np.int8(1 << p)) != 0).astype(jnp.int8)
+                # Mosaic has no i8 vector add/or: combine the planes in
+                # i32 and truncate (values <= 33 survive the narrow)
+                lo = ((t & np.int8(1 << p)) != 0).astype(jnp.int32)
                 hb = np.int8(-128 if p + 4 == 7 else 1 << (p + 4))
-                hi = ((t & hb) != 0).astype(jnp.int8)
-                op = lo + hi * np.int8(32)
+                hi = ((t & hb) != 0).astype(jnp.int32)
+                op = (lo + hi * np.int32(32)).astype(jnp.int8)
                 acc = jnp.dot(q, op, preferred_element_type=jnp.int32)
                 # per-G-tile partials unpack BEFORE the int8 store: each
                 # field's partial is <= its total <= 31, so the fields
@@ -325,6 +327,36 @@ def bitmap_hits_bmax(qcnt, planes, *, interpret: bool | None = None,
     ntiles = hits.shape[1] // TILE_LANES
     bm = bmax.reshape(b, ntiles, _BMAX_BLK)[:, :, :_SUBS]
     return hits, bm.reshape(b, ntiles * _SUBS)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_rows_pallas(table, rows, *, interpret: bool | None = None):
+    """Row gather via scalar-prefetched block DMAs: out[i] = table[rows[i]].
+
+    The batch row compaction is a (Gc, T/8) copy of 1.3 MB rows;
+    ``jnp.take`` measured ~60 GB/s combined on v5e (62 ms for 1408 rows
+    at 10M terms), far under HBM speed.  Here each grid step DMAs one
+    whole row chosen by the prefetched index vector - a straight-line
+    HBM->VMEM->HBM stream.  Rows must be in [0, G)."""
+    if interpret is None:
+        interpret = INTERPRET
+    g, nb = table.shape
+    (gc,) = rows.shape
+    return pl.pallas_call(
+        lambda idx_ref, t_ref, o_ref: o_ref.__setitem__(
+            (slice(None), slice(None)), t_ref[...]
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gc,),
+            in_specs=[
+                pl.BlockSpec((1, nb), lambda i, idx_ref: (idx_ref[i], 0)),
+            ],
+            out_specs=pl.BlockSpec((1, nb), lambda i, idx_ref: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((gc, nb), table.dtype),
+        interpret=interpret,
+    )(rows.astype(jnp.int32), table)
 
 
 def bitmap_hits_ref(qcnt, planes):

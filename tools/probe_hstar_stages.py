@@ -31,14 +31,21 @@ def log(*a):
 
 
 def timeit(name, fn, reps=3):
+    import traceback
+
     import jax
 
-    fn(0)  # compile
-    ts = []
-    for r in range(1, reps + 1):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(r))
-        ts.append(time.perf_counter() - t0)
+    try:
+        fn(0)  # compile
+        ts = []
+        for r in range(1, reps + 1):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(r))
+            ts.append(time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001 - probe must survive variants
+        traceback.print_exc()
+        log(f"{name}: FAILED {type(e).__name__}")
+        return float("nan")
     ms = float(np.median(ts) * 1e3)
     log(f"{name}: {ms:.1f} ms (reps {['%.1f' % (t*1e3) for t in ts]})")
     return ms
@@ -90,11 +97,18 @@ def main():
     log(f"compact rows: {gp_c} (union {np.unique(slots[slots>=0]).size})")
 
     table_full = bm[0]
-    timeit("row-compaction gather", lambda r: _gather_rows(
+    timeit("row-compaction gather (jnp.take)", lambda r: _gather_rows(
+        table_full, jnp.asarray((rows + r) % rows.max())
+    ))
+    from stringsearchlib_tpu.ops.bitmap_matmul import gather_rows_pallas
+
+    timeit("row-compaction gather (pallas)", lambda r: gather_rows_pallas(
         table_full, jnp.asarray((rows + r) % rows.max())
     ))
     ctable = _gather_rows(table_full, jnp.asarray(rows))
     jax.block_until_ready(ctable)
+    # also time the kernel at the FULL (uncompacted) table for reference
+    gp_full = int(table_full.shape[0])
 
     from stringsearchlib_tpu.ops.bitmap_matmul import bitmap_hits_bmax
 
@@ -121,6 +135,18 @@ def main():
     packed_mb = gp * int(ctable.shape[1]) / 1e6
     log(f"packed compact table {packed_mb:.0f} MB -> "
         f"{packed_mb/t8*1000/1000:.0f} / {packed_mb/tp*1000/1000:.0f} GB/s")
+
+    qfull_np = np.zeros((bsz, gp_full), np.float32)
+    for r in range(bsz):
+        sl = slots[r][slots[r] >= 0]
+        np.add.at(qfull_np[r], sl, 1.0)
+
+    def k_full(r, dots):
+        q = jnp.asarray(np.roll(qfull_np, r, axis=0), dtype=jnp.bfloat16)
+        return bitmap_hits_bmax(q, table_full, int8_dots=dots)
+
+    timeit("kernel int8 (full 2816)", lambda r: k_full(r, True))
+    timeit("kernel pair (full 2816)", lambda r: k_full(r, "pair"))
 
     # h* histogram in isolation
     hits, hmax = jax.block_until_ready(k_int8(0))
