@@ -555,7 +555,7 @@ def _unpack_planes(rows):
 def _hstar_finish(
     di, pt, xt, hits, hmax, qtokens, qlens, n_qgrams, use_short, promo_ids,
     promo_terms, promo_weights, limits, threshold, *, compute_short,
-    kb1, kb2, n_cand, n_edge, top_k, with_bound, vmax, blk=_BLK,
+    kb1, kb2, n_cand, n_edge, top_k, with_bound, vmax, blk=_BLK, fill=2,
 ):
     """Integer hit-threshold (h*) selection for HUGE dense hit matrices.
 
@@ -614,17 +614,40 @@ def _hstar_finish(
     fits = (cnt128 <= kb2) & (cnt1 <= kb1)  # monotone in v
     first_fit = jnp.argmax(fits, axis=1).astype(jnp.int32) + 1
     any_fit = jnp.any(fits, axis=1)
+    # every >= threshold block fits the budgets: keep them ALL (full
+    # coverage -> exact counts, the best case)
+    fits_floor = jnp.take_along_axis(
+        fits, jnp.clip(floor_h - 1, 0, vmax - 1)[:, None], axis=1
+    )[:, 0]
+    # otherwise: among the levels that fit, take the DEEPEST one that
+    # still holds >= fill * limit blocks - ranking only needs the top
+    # `limit` keys, so levels below that depth cost gather/top-k width
+    # without adding reachable results (counts are exact, so this cannot
+    # under-keep relative to first_fit; cnt is monotone, so the fill
+    # level always fits whenever first_fit does).  The guard still
+    # verifies sigma_limit >= h*/nqg and escalates on failure.
+    if fill > 0:
+        want = (
+            jnp.maximum(limits, 1).astype(jnp.int32)[:, None]
+            * np.int32(fill)
+        )
+        h_fill = jnp.sum((cnt128 >= want).astype(jnp.int32), axis=1)
+    else:  # escalation retries maximize coverage instead
+        h_fill = jnp.zeros_like(floor_h)
     # no fitting level within vmax: h* = vmax + 1 selects nothing and the
     # guard fails -> the host escalates (cannot happen once kb2 >= nblk)
     hstar = jnp.where(
-        any_fit, jnp.maximum(first_fit, floor_h), np.int32(vmax + 1)
+        fits_floor & (floor_h >= first_fit),
+        floor_h,
+        jnp.where(
+            any_fit,
+            jnp.maximum(
+                floor_h, jnp.maximum(first_fit, h_fill)
+            ),
+            np.int32(vmax + 1),
+        ),
     )  # (b,)
-    # every >= threshold block kept <=> the threshold level itself fits
-    covered_blocks = (
-        jnp.take_along_axis(fits, jnp.clip(floor_h - 1, 0, vmax - 1)[:, None],
-                            axis=1)[:, 0]
-        & (hstar <= floor_h)
-    )
+    covered_blocks = fits_floor & (hstar <= floor_h)
 
     # -- coarse -> fine extraction ------------------------------------------
     h8 = hstar.astype(jnp.int8)[:, None]
@@ -986,6 +1009,7 @@ def candidates_bitmap_mxu_impl(
     hstar: bool = False,
     kb1: int = 512,
     kb2: int = 512,
+    hs_fill: int = 2,
     pair_dots: bool = False,
 ):
     """EXACT hit counts via the Pallas unpack-matmul kernel
@@ -1021,7 +1045,7 @@ def candidates_bitmap_mxu_impl(
             promo_ids, promo_terms, promo_weights, limits, threshold,
             compute_short=compute_short, kb1=kb1, kb2=kb2, n_cand=n_cand,
             n_edge=n_edge, top_k=top_k, with_bound=with_bound,
-            vmax=int(qslots.shape[1]), blk=_BLK,
+            vmax=int(qslots.shape[1]), blk=_BLK, fill=hs_fill,
         )
     if block_sel:
         if fused_bmax:
@@ -1063,7 +1087,7 @@ candidates_bitmap_mxu = functools.partial(
     static_argnames=(
         "compute_short", "n_cand", "n_edge", "top_k",
         "block_sel", "with_bound", "interpret", "fused_bmax", "bmax_blk",
-        "approx", "kb_lanes", "hstar", "kb1", "kb2", "pair_dots",
+        "approx", "kb_lanes", "hstar", "kb1", "kb2", "hs_fill", "pair_dots",
     ),
 )(candidates_bitmap_mxu_impl)
 
