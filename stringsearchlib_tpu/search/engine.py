@@ -865,12 +865,15 @@ class SearchEngine:
     # 100th-ranked score level).  Sound only for uniform-weight indexes
     # (HostIndex.uniform_weights gates it).
     # Budgets from the 10M probe: terms at the 100th-ranked score level
-    # number 120-760 per query (p50 306), one per 128-block; budget 512
-    # failed its fit on fat tie classes for ~20% of queries (756 blocks at
-    # h=10 on q4), 1024 covered every sampled query.
+    # number 120-760 per query (p50 306), one per 128-block.  With the
+    # fill rule (keep the deepest level holding >= 2x limit blocks) the
+    # kept set tracks the result size, so the static budgets bound the
+    # gather width at 512 blocks; rows whose guard still fails retry at
+    # 4x budgets with fill off.
     HSTAR_SEL = True
-    HSTAR_KB1 = 1024  # 1024-lane coarse block budget
-    HSTAR_KB2 = 1024  # 128-lane block budget (gather width = KB2 * 128)
+    HSTAR_KB1 = 512  # 1024-lane coarse block budget
+    HSTAR_KB2 = 512  # 128-lane block budget (gather width = KB2 * 128)
+    HSTAR_FILL = 2  # first-pass kept-block target, x limit
     # paired bit planes in the bitmap kernel (ops.bitmap_matmul "pair"):
     # halves the MXU dots per byte tile; exact while total query windows
     # <= 31 (gated per batch on the slot-matrix width)
@@ -1222,6 +1225,10 @@ class SearchEngine:
                         kw["hstar"] = True
                         kw["kb1"] = hs_kb1
                         kw["kb2"] = hs_kb2
+                        kw["hs_fill"] = (
+                            self.HSTAR_FILL
+                            if cand_cap == self.CAND_TERMS_FAST else 0
+                        )
                 res = fe(
                     di,
                     bm_table,
