@@ -342,21 +342,33 @@ def gather_rows_pallas(table, rows, *, interpret: bool | None = None):
         interpret = INTERPRET
     g, nb = table.shape
     (gc,) = rows.shape
-    return pl.pallas_call(
+    # Mosaic requires the last two block dims be 8/128-divisible or equal
+    # to the array dims; a (1, nb) block over (G, nb) violates the
+    # sublane rule, so view rows as (G, nb/128, 128) and move the row
+    # axis out of the tiled pair
+    assert nb % 128 == 0, nb
+    t3 = table.reshape(g, nb // 128, 128)
+    out = pl.pallas_call(
         lambda idx_ref, t_ref, o_ref: o_ref.__setitem__(
-            (slice(None), slice(None)), t_ref[...]
+            (slice(None), slice(None), slice(None)), t_ref[...]
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(gc,),
             in_specs=[
-                pl.BlockSpec((1, nb), lambda i, idx_ref: (idx_ref[i], 0)),
+                pl.BlockSpec(
+                    (1, nb // 128, 128),
+                    lambda i, idx_ref: (idx_ref[i], 0, 0),
+                ),
             ],
-            out_specs=pl.BlockSpec((1, nb), lambda i, idx_ref: (i, 0)),
+            out_specs=pl.BlockSpec(
+                (1, nb // 128, 128), lambda i, idx_ref: (i, 0, 0)
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct((gc, nb), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((gc, nb // 128, 128), table.dtype),
         interpret=interpret,
-    )(rows.astype(jnp.int32), table)
+    )(rows.astype(jnp.int32), t3)
+    return out.reshape(gc, nb)
 
 
 def bitmap_hits_ref(qcnt, planes):

@@ -570,3 +570,19 @@ def test_bitmap_kernel_pair_dots_gtiled(monkeypatch):
         bmod.bitmap_hits(q, bm, interpret=True, int8_dots="pair")
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_gather_rows_pallas_matches_take(host_engine):
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.ops.bitmap_matmul import gather_rows_pallas
+
+    host, _ = host_engine
+    bm, _ = host.bitmap_tables()
+    rng = np.random.default_rng(9)
+    rows = rng.integers(0, bm.shape[0], size=64).astype(np.int32)
+    got = np.asarray(
+        gather_rows_pallas(bm, jnp.asarray(rows), interpret=True)
+    )
+    want = np.asarray(bm)[rows]
+    np.testing.assert_array_equal(got, want)

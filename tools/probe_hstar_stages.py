@@ -30,25 +30,49 @@ def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
 
 
+_RTT_MS = [0.0]
+
+
+def _settle(out):
+    """Force real completion: fetch one element of every output leaf.
+    block_until_ready through the axon tunnel returned in ~1.5 ms for
+    calls that provably stream gigabytes - it does not block; a
+    device->host read of the RESULT does."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(out)
+    return jax.device_get([leaf.ravel()[:1] for leaf in leaves])
+
+
 def timeit(name, fn, reps=3):
     import traceback
 
-    import jax
-
     try:
-        fn(0)  # compile
+        _settle(fn(0))  # compile
         ts = []
         for r in range(1, reps + 1):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(r))
+            _settle(fn(r))
             ts.append(time.perf_counter() - t0)
     except Exception as e:  # noqa: BLE001 - probe must survive variants
         traceback.print_exc()
         log(f"{name}: FAILED {type(e).__name__}")
         return float("nan")
-    ms = float(np.median(ts) * 1e3)
-    log(f"{name}: {ms:.1f} ms (reps {['%.1f' % (t*1e3) for t in ts]})")
+    ms = float(np.median(ts) * 1e3) - _RTT_MS[0]
+    log(f"{name}: {ms:.1f} ms net (rtt {_RTT_MS[0]:.1f}; reps "
+        f"{['%.1f' % (t*1e3) for t in ts]})")
     return ms
+
+
+def measure_rtt():
+    import jax.numpy as jnp
+
+    def nop(r):
+        return jnp.asarray(np.float32(r)) + 1.0
+
+    _RTT_MS[0] = 0.0
+    t = timeit("tunnel rtt (nop)", nop, reps=5)
+    _RTT_MS[0] = max(t, 0.0)
 
 
 def main():
@@ -63,14 +87,29 @@ def main():
     from stringsearchlib_tpu.search.engine import SearchEngine, _gather_rows
 
     log(f"devices: {jax.devices()}")
+    measure_rtt()
     words = _product_names(n_keys, seed=2)
     rng = random.Random(7)
     queries = [_mutate(rng, rng.choice(words)) for _ in range(bsz)]
 
     t0 = time.time()
-    host = build_index(words, 1, None, IndexConfig())
-    jax.device_get(host.device.gram_ptr[:1])
-    log(f"build {time.time()-t0:.1f}s")
+    cache = f"/tmp/idx_{n_keys}.npz"
+    if os.path.exists(cache):
+        from stringsearchlib_tpu.index.serialize import load_index
+
+        host = load_index(cache)
+        log(f"loaded cached index {time.time()-t0:.1f}s")
+    else:
+        host = build_index(words, 1, None, IndexConfig())
+        jax.device_get(host.device.gram_ptr[:1])
+        log(f"build {time.time()-t0:.1f}s")
+        try:
+            from stringsearchlib_tpu.index.serialize import save_index
+
+            save_index(host, cache)
+            log(f"cached -> {cache}")
+        except Exception as e:  # noqa: BLE001
+            log(f"cache save failed: {e}")
     engine = SearchEngine(host)
     engine.GM_BUDGET = 0
     bm = host.bitmap_tables(engine.BITMAP_BUDGET)
