@@ -1,0 +1,185 @@
+"""Real-chip shard-scaling study (VERDICT round-3 item #3).
+
+A virtual CPU mesh cannot measure speedup (all shards share the host
+cores; SCALING.json round 3 showed noise: 1.0/0.49/0.19/0.40).  This
+harness produces the defensible story on the one real chip:
+
+  1. per-shard COMPUTE scaling: throughput of shard-sized subindexes
+     (T, T/2, T/4, T/8 keys) under the identical query load - exactly
+     the work one chip of an S-shard data-parallel mesh performs;
+  2. a linear fit t(T) = a + b*T of per-query device time, separating
+     the table-proportional term from fixed per-chunk costs;
+  3. the merge term, modeled from the sharded engine's recorded
+     collective payload (top-k ids+scores+bounds per shard: 200-1600
+     bytes/query at 1-8 shards, riding ICI at ~100 GB/s -> negligible
+     wire time) plus the replicated global top-k, timed on-chip at the
+     S=8 candidate shape;
+  4. projected DP scaling efficiency eff(S, T) =
+     t(T) / (S * (t(T/S) + t_merge)) for the BASELINE configs
+     (10M keys on 8 chips; 100M keys on 8 chips, per-shard 12.5M
+     extrapolated from the fit).
+
+Writes SCALING.json (v2 schema) consumed by bench.py.
+
+Run: python tools/scaling_real.py  (needs the real TPU)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _mutate, _product_names  # noqa: E402
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def main():
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.config import IndexConfig
+    from stringsearchlib_tpu.index.build import build_index
+    from stringsearchlib_tpu.search.engine import SearchEngine
+
+    n_top = int(os.environ.get("SCALE_KEYS", 10_000_000))
+    n_q = int(os.environ.get("SCALE_QUERIES", 512))
+    reps = int(os.environ.get("SCALE_REPS", 3))
+    threshold, limit = 0.3, 100
+
+    log(f"devices: {jax.devices()}")
+    words = _product_names(n_top, seed=2)
+    rng = random.Random(7)
+    # query bases come from the smallest subindex's prefix so every size
+    # serves the identical load
+    base = words[: n_top // 8]
+    queries = [_mutate(rng, rng.choice(base)) for _ in range(n_q)]
+
+    sizes = [n_top // 8, n_top // 4, n_top // 2, n_top]
+    points = {}
+    for t in sizes:
+        sub = words[:t]
+        t0 = time.time()
+        host = build_index(sub, 1, None, IndexConfig())
+        jax.device_get(host.device.gram_ptr[:1])
+        eng = SearchEngine(host)
+        eng.GM_BUDGET = 0  # identical front end at every size
+        host.bitmap_tables(eng.BITMAP_BUDGET)
+        eng.search_batch(queries, threshold, limit, batch_bucket=512)
+        lat = []
+        for _ in range(reps):
+            t1 = time.perf_counter()
+            eng.search_batch(queries, threshold, limit, batch_bucket=512)
+            lat.append((time.perf_counter() - t1) / n_q)
+        per_q_ms = float(np.median(lat) * 1e3)
+        points[t] = {
+            "per_query_ms": round(per_q_ms, 4),
+            "qps": round(1e3 / per_q_ms, 1),
+            "routing": dict(eng.last_routing),
+            "build_s": round(time.time() - t0, 1),
+        }
+        log(f"T={t}: {points[t]['qps']} q/s ({per_q_ms:.3f} ms/q)")
+        del eng, host
+        gc.collect()
+
+    # linear fit t(T) = a + b*T over the measured sizes
+    xs = np.array(sizes, np.float64)
+    ys = np.array([points[t]["per_query_ms"] for t in sizes], np.float64)
+    b_ms, a_ms = np.polyfit(xs, ys, 1)
+    fit = {"a_ms": round(float(a_ms), 4), "b_ms_per_key": float(b_ms)}
+    log(f"fit: t(T) = {a_ms:.4f} ms + {b_ms*1e6:.4f} ms/Mkey")
+
+    # merge term: replicated global top-k over S*k (score, len, key)
+    # candidates per query - the only non-local work in the DP design
+    # (parallel.dist: local top-k -> all_gather -> replicated merge)
+    s_max, k = 8, 128
+    bsz = 256
+    neg = np.float32(-np.inf)
+
+    @jax.jit
+    def merge(scores, lens, keys):
+        n, o_l, o_k, o_s = jax.lax.sort(
+            (-scores, lens, keys, scores), num_keys=3, is_stable=True
+        )
+        return o_k[:, :k], o_s[:, :k]
+
+    rngn = np.random.default_rng(0)
+    sc = rngn.random((bsz, s_max * k)).astype(np.float32)
+    ln = rngn.integers(1, 30, (bsz, s_max * k)).astype(np.int32)
+    ky = rngn.integers(0, 1 << 20, (bsz, s_max * k)).astype(np.int32)
+    jax.device_get(jax.tree_util.tree_leaves(merge(sc, ln, ky))[0][:1, :1])
+    ts = []
+    for r in range(reps):
+        sc2 = sc + np.float32(r + 1)
+        t1 = time.perf_counter()
+        out = merge(sc2, ln, ky)
+        jax.device_get(out[0][:1, :1])
+        ts.append(time.perf_counter() - t1)
+    t_merge_chunk_ms = float(np.median(ts) * 1e3)
+    t_merge_ms = t_merge_chunk_ms / bsz
+    # wire time: recorded collective payload (SCALING round-3 artifact)
+    wire_bytes = {1: 200, 2: 400, 4: 800, 8: 1600}
+    ici_gbps = 100.0  # v5e per-link ICI, conservative
+    log(f"merge: {t_merge_chunk_ms:.2f} ms / {bsz}-chunk "
+        f"({t_merge_ms*1e3:.2f} us/query)")
+
+    def eff(s, total):
+        t1 = a_ms + b_ms * total
+        ts_ = a_ms + b_ms * (total / s)
+        tm = t_merge_ms + wire_bytes.get(s, 200 * s) / (ici_gbps * 1e6)
+        return t1 / (s * (ts_ + tm))
+
+    proj = {
+        "eff_8shard_10M": round(eff(8, 10e6), 3),
+        "eff_4shard_10M": round(eff(4, 10e6), 3),
+        "eff_2shard_10M": round(eff(2, 10e6), 3),
+        "eff_8shard_100M": round(eff(8, 100e6), 3),
+        "qps_8shard_100M_proj": round(
+            1e3 / (a_ms + b_ms * 12.5e6 + t_merge_ms), 1
+        ),
+    }
+    log("projection:", json.dumps(proj))
+
+    out = {
+        "schema": 2,
+        "method": (
+            "real-chip shard-sized subindex throughput + linear fit "
+            "t(T)=a+b*T + on-chip merge timing + recorded collective "
+            "bytes; eff(S,T) = t(T) / (S*(t(T/S)+t_merge))"
+        ),
+        "n_queries": n_q,
+        "threshold": threshold,
+        "limit": limit,
+        "real_chip_points": {str(t): points[t] for t in sizes},
+        "fit": fit,
+        "merge": {
+            "per_query_us": round(t_merge_ms * 1e3, 2),
+            "collective_bytes_per_query": wire_bytes,
+            "ici_gbps_assumed": ici_gbps,
+        },
+        "projected_efficiency": proj,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    log(f"written {path}")
+
+
+if __name__ == "__main__":
+    main()
