@@ -229,15 +229,49 @@ def main():
         )
 
     timeit("front hstar+pair", lambda r: front(
-        r, n_cand=1024, hstar=True, kb1=1024, kb2=1024, pair_dots=True,
+        r, n_cand=1024, hstar=True, kb1=512, kb2=512, pair_dots=True,
         fused_bmax=True,
     ))
     timeit("front hstar", lambda r: front(
-        r, n_cand=1024, hstar=True, kb1=1024, kb2=1024, fused_bmax=True,
+        r, n_cand=1024, hstar=True, kb1=512, kb2=512, fused_bmax=True,
     ))
     timeit("front bounds", lambda r: front(
         r, n_cand=1024, block_sel=True, fused_bmax=True,
     ))
+
+    # B=512 kernel (VMEM model says 13.9 MB of the 14 MB budget)
+    from stringsearchlib_tpu.ops.bitmap_matmul import fits_vmem
+
+    log(f"fits_vmem(512, {gp_full}) = {fits_vmem(512, gp_full)}")
+    q512 = np.concatenate([qfull_np, qfull_np], axis=0)
+
+    def k_full_512(r, dots):
+        q = jnp.asarray(np.roll(q512, r, axis=0), dtype=jnp.bfloat16)
+        return bitmap_hits_bmax(q, table_full, int8_dots=dots)
+
+    timeit("kernel pair B=512 (full)", lambda r: k_full_512(r, "pair"))
+
+    # tiny-batch XLA scan path (candidates_bitmap): the platform streams
+    # 1.2 TB/s through XLA - single queries should not pay the Pallas
+    # kernel's full-table compute
+    from stringsearchlib_tpu.search.candidates import candidates_bitmap
+
+    def tiny(r, b):
+        sl_ = slice(0, b)
+        q = np.roll(qtok[sl_], r, axis=0)
+        return candidates_bitmap(
+            di, table_full, pt, xt, jnp.asarray(q),
+            jnp.asarray(qlens[sl_]), jnp.asarray(slots[sl_]),
+            jnp.asarray(nqg[sl_]), jnp.asarray(use_short[sl_]),
+            jnp.asarray(promo_a[sl_]), jnp.asarray(promo_t[sl_]),
+            jnp.asarray(promo_w[sl_]), jnp.asarray(lim[sl_]),
+            np.float32(0.3),
+            compute_short=bool(use_short[sl_].any()), n_edge=1024,
+            top_k=128, n_cand=1024, block_sel=True,
+        )
+
+    timeit("xla-scan front B=1", lambda r: tiny(r, 1))
+    timeit("xla-scan front B=8", lambda r: tiny(r, 8))
 
 
 if __name__ == "__main__":
