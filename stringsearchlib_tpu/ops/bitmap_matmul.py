@@ -45,7 +45,10 @@ BLKB = 512
 TILE_LANES = 8 * BLKB
 
 # VMEM ceiling the caller budgets against (bytes); v5e has ~16 MB/core.
-_VMEM_BUDGET = 14 << 20
+# 12 MB, not 14: a 13.9 MB working set compiled but ran 3x SLOWER per
+# byte (B=512 at gp=2816: 197 ms vs B=256's 65.6 for half the work -
+# the pipeline loses its double buffering near the ceiling).
+_VMEM_BUDGET = 12 << 20
 
 
 def plane_coords(term):

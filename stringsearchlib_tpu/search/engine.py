@@ -609,8 +609,11 @@ class SearchEngine:
                 )
 
     # HBM budget for per-batch intermediates; vmapped kernels allocate
-    # O(B x terms) so B must shrink as the index grows.
-    BATCH_HBM_BUDGET = 6 << 30
+    # O(B x terms) so B must shrink as the index grows.  7 GB admits the
+    # 512-query chunk at 10M keys (hits 5.4 GB + table 3.4 GB + index
+    # ~1.5 GB inside the 16 GB chip): the packed table streams ONCE per
+    # chunk, so per-query kernel cost drops ~1.6x over 256-chunks.
+    BATCH_HBM_BUDGET = 7 << 30
 
     def _batch_cap(self, batch_bucket: int) -> int:
         per_query = 48 * max(self.host.n_terms, 1) + (1 << 20)
@@ -814,6 +817,13 @@ class SearchEngine:
     # path when each query's bucketed posting mass fits RUNS_TINY_LANES
     RUNS_TINY_BATCH = 8
     RUNS_TINY_LANES = 1 << 22
+    # batches at or under this size skip the Pallas kernel for the XLA
+    # per-slot scan (see _cand_pass): the kernel pays a fixed ~65 ms of
+    # full-table unpack+dot at 10M keys regardless of B.  Measured on
+    # v5e at 10M: scan B=1 28.4 ms net vs the kernel's fixed cost, but
+    # scan B=8 is 368 ms (per-step gather+unpack lowers badly), so only
+    # singletons route here.
+    TINY_SCAN_BATCH = 1
     # Hardware-validated switches (round 3, v5e).  The class defaults ARE
     # the proven configuration - a gitignored state file must never again
     # be the only thing standing between the driver's bench and a slow
@@ -1049,6 +1059,13 @@ class SearchEngine:
                 and fits_vmem(16, gp_rows)
                 and (gp_rows <= SBLK_MAX or self.BITMAP_GTILE_OK)
             )
+            # singleton batches: the XLA per-slot scan costs ~28 ms at
+            # 10M (proportional to B) vs the kernel's fixed ~65 ms of
+            # full-table unpack+dot - exactly what one interactive query
+            # wants (tools/probe_b512_tiny.py; at B >= 8 the scan loses
+            # badly, 368 ms, so only singletons route here)
+            if bm_kernel and len(items) <= self.TINY_SCAN_BATCH:
+                bm_kernel = False
             bm_fused = bm_kernel and (
                 self.BITMAP_FUSED_BMAX or tlp >= self.BITMAP_FUSED_MIN_TLP
             )

@@ -514,7 +514,11 @@ def test_hstar_gated_off_for_weighted_index(monkeypatch):
     )
     monkeypatch.setattr(emod.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(eng, "CAND_MIN_TERMS", 100)
-    eng.search_batch([words[0][:-1] + "x"], 0.25, 10, mode="candidates")
+    # two queries: singletons route the XLA scan (TINY_SCAN_BATCH)
+    eng.search_batch(
+        [words[0][:-1] + "x", words[1][:-1] + "x"], 0.25, 10,
+        mode="candidates",
+    )
     assert eng.last_routing["variant"] == "bitmap_kernel"
     assert eng.last_routing["hstar"] is False
 

@@ -43,9 +43,16 @@ def main():
     queries = [_mutate(rng, rng.choice(words)) for _ in range(n_q)]
 
     t0 = time.time()
-    host = build_index(words, 1, None, IndexConfig())
-    jax.device_get(host.device.gram_ptr[:1])
-    log(f"build {time.time()-t0:.1f}s; uniform_weights={host.uniform_weights}")
+    cache = f"/tmp/idx_{n_keys}.npz"
+    if os.path.exists(cache):
+        from stringsearchlib_tpu.index.serialize import load_index
+
+        host = load_index(cache)
+        log(f"loaded cached index {time.time()-t0:.1f}s")
+    else:
+        host = build_index(words, 1, None, IndexConfig())
+        jax.device_get(host.device.gram_ptr[:1])
+        log(f"build {time.time()-t0:.1f}s; uniform={host.uniform_weights}")
     engine = SearchEngine(host)
     engine.GM_BUDGET = 0  # force bitmap even if the incidence would fit
     host.bitmap_tables(engine.BITMAP_BUDGET)
