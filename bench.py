@@ -165,19 +165,29 @@ def _run_config(words, n_queries, threshold, limit, reps, singles=0,
         # no artifact recorded
         "routing": dict(engine.last_routing),
     }
-    # speed-of-light accounting for the kernel front ends: the bitmap/
-    # matmul hits pass is MXU-bound (B x Gp x Tlp int8 MACs at 394 TOPS
-    # peak on v5e), so its qps ceiling is independent of the back half;
-    # achieved_vs_mxu_roofline says how much of the e2e gap is front end
-    # vs selection/ranking.
+    # speed-of-light accounting for the kernel front ends.  Two bounds,
+    # both per chunk (the table streams once per `step` queries):
+    #  - bw_bound: packed table bytes / the platform's MEASURED XLA
+    #    stream rate (1.2 TB/s, tools/probe_bandwidth.py) - the
+    #    formulation's physics floor, compute assumed free;
+    #  - mxu_bound: B x Gp x Tlp int8 MACs at 394 TOPS (x 5/8 when the
+    #    masked-pair kernel is routed: 5 dots replace 8).
+    # achieved_vs_* say how much of the e2e gap is front end vs
+    # selection/ranking/host.
     if out["hits_path"] in ("bitmap", "matmul") and host.n_terms:
         rt = engine.last_routing
         gp_eff = rt.get("compact_rows") or rt.get("gp_rows") or host.n_grams
         tlp = ((host.n_terms + 32767) // 32768) * 32768
-        mxu_qps = 394e12 / max(2.0 * gp_eff * tlp, 1.0)
+        step = max(int(rt.get("step", 256)), 1)
+        pair = 5.0 / 8.0 if rt.get("pair_dots") else 1.0
+        mxu_qps = 394e12 / max(2.0 * gp_eff * tlp * pair, 1.0)
+        packed_bytes = gp_eff * tlp / 8.0
+        bw_qps = 1.2e12 / max(packed_bytes / step, 1.0)
         out["roofline"] = {
             "mxu_bound_qps": round(mxu_qps, 1),
+            "bw_bound_qps": round(bw_qps, 1),
             "achieved_vs_mxu_roofline": round(out["qps"] / mxu_qps, 4),
+            "achieved_vs_bw_roofline": round(out["qps"] / bw_qps, 4),
         }
     if singles:
         qs = queries[:singles]
