@@ -673,18 +673,37 @@ def _hstar_finish(
     pass2 = (hb > 0) & (n_qgrams[:, None, None] > 0) & (
         s2 >= threshold
     )
-    u2 = jnp.where(pass2, s2, _NEG_INF).reshape(b, kb2_eff * blk)
+    # passing hits, zero elsewhere: the integer lane-selection operand
+    hbp = jnp.where(pass2, hb, np.int8(0)).reshape(b, kb2_eff * blk)
     s2f = s2.reshape(b, kb2_eff * blk)
     n_pass_in = jnp.sum(pass2.astype(jnp.int32), axis=(1, 2))
+    # lane-level integer threshold, same construction as h*: exact counts
+    # of passing lanes per hit level pick h_l = the smallest level whose
+    # lanes fit n_cand; a top-k by hit value then provably selects EVERY
+    # lane >= h_l, so unselected lanes are STRICTLY below - the bound
+    # (h_l - 1)/nqg cannot tie the limit-th score (the float top-k bound
+    # here measured 101/512 guard retries at 10M: its n_cand-th value
+    # lands inside a score tie class)
+    cnt_l = jnp.sum(
+        (hbp[:, :, None] >= vals[None, None, :]).astype(jnp.int32), axis=1
+    )  # (b, vmax)
+    lane_fit = cnt_l <= n_cand
+    h_lane = jnp.argmax(lane_fit, axis=1).astype(jnp.int32) + 1
+    h_lane = jnp.where(jnp.any(lane_fit, axis=1), h_lane, np.int32(vmax + 1))
+    lanes_cov = cnt_l[:, 0] <= n_cand  # every passing lane selected
     # sound bound on every term OUTSIDE the kept blocks (weights == 1)
     u_blk = jnp.where(
         covered_blocks, _NEG_INF,
         (hstar.astype(jnp.float32) - 1.0) / nqg_f,
     )
+    u_lane = jnp.where(
+        lanes_cov, _NEG_INF,
+        (h_lane.astype(jnp.float32) - 1.0) / nqg_f,
+    )
 
     def one(args):
-        (qtok, qlen, hrow, u2r, s2r, col2r, u_br, bcov, npi, promo, p_t,
-         p_w, limit, nqg, us) = args
+        (qtok, qlen, hrow, hbr, s2r, col2r, u_br, u_lr, bcov, lcov, npi,
+         promo, p_t, p_w, limit, nqg, us) = args
         qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
         nqg_f1 = jnp.maximum(nqg.astype(jnp.float32), 1.0)
 
@@ -694,8 +713,13 @@ def _hstar_finish(
             return s, (h > 0) & (nqg > 0) & (s >= threshold)
 
         if compute_short:
+            # short-tier DP scores are fractional: fall back to the float
+            # selection over the concatenated lane space
             s_short, pass_short, u_short = _short_tier(
                 di, qtok, qlen, us, threshold, qlen_f
+            )
+            u2r = jnp.where(
+                hbr > 0, hbr.astype(jnp.float32) / nqg_f1, _NEG_INF
             )
             u_cat = jnp.concatenate([u_short, u2r])
             s_cat = jnp.concatenate([s_short, s2r])
@@ -713,24 +737,29 @@ def _hstar_finish(
                     jnp.where(p_sh, p_ss, p_sl),
                     jnp.where(p_sh, p_ps, p_okl),
                 )
-        else:
-            u_cat, s_cat = u2r, s2r
-            gid_cat = ts + col2r
 
+            ub, ls = topk_chunked(u_cat, min(n_cand, u_cat.shape[0]))
+            sel_valid = ub > _NEG_INF
+            lsc = jnp.clip(ls, 0, gid_cat.shape[0] - 1)
+            t_sel = gid_cat[lsc]
+            s_sel = s_cat[lsc]
+            sel_cov = npi <= ub.shape[0]
+            u_c = jnp.maximum(
+                jnp.where(sel_cov, _NEG_INF, ub[-1]), u_br
+            )
+            covered = bcov & sel_cov
+        else:
             def term_score(p_t):
                 s, ok = s_at(p_t - ts)
                 return s, (p_t >= ts) & ok
 
-        ub, ls = topk_chunked(u_cat, min(n_cand, u_cat.shape[0]))
-        sel_valid = ub > _NEG_INF
-        lsc = jnp.clip(ls, 0, gid_cat.shape[0] - 1)
-        t_sel = gid_cat[lsc]
-        s_sel = s_cat[lsc]
-        sel_cov = npi <= ub.shape[0]
-        u_c = jnp.maximum(
-            jnp.where(sel_cov, _NEG_INF, ub[-1]), u_br
-        )
-        covered = bcov & sel_cov
+            hv, ls = topk_chunked(hbr, min(n_cand, hbr.shape[0]))
+            sel_valid = hv > 0
+            lsc = jnp.clip(ls, 0, col2r.shape[0] - 1)
+            t_sel = ts + col2r[lsc]
+            s_sel = hv.astype(jnp.float32) / nqg_f1
+            u_c = jnp.maximum(u_lr, u_br)
+            covered = bcov & lcov
         return _finish_selected(
             di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score,
             (promo, p_t, p_w), limit, threshold, n_edge=n_edge,
@@ -738,9 +767,9 @@ def _hstar_finish(
         )
 
     return jax.vmap(one)(
-        (qtokens, qlens, hits, u2, s2f, col2, u_blk, covered_blocks,
-         n_pass_in, promo_ids, promo_terms, promo_weights, limits,
-         n_qgrams, use_short)
+        (qtokens, qlens, hits, hbp, s2f, col2, u_blk, u_lane,
+         covered_blocks, lanes_cov, n_pass_in, promo_ids, promo_terms,
+         promo_weights, limits, n_qgrams, use_short)
     )
 
 

@@ -1135,14 +1135,17 @@ class SearchEngine:
         # space dwarfs the kept blocks (n_cand blocks x 128 lanes)
         block_sel = n_lanes >= 4 * n_cand * _BLK
         cap = max(int(self.BATCH_HBM_BUDGET // per_q), 8)
-        if bm is not None and bm_kernel:
-            from ..ops.bitmap_matmul import fits_vmem
-
-            while cap > 8 and not fits_vmem(_next_pow2(cap, 8), gp_eff):
-                cap //= 2
         step = 8
         while step * 2 <= min(cap, batch_bucket):
             step *= 2
+        if bm is not None and bm_kernel:
+            from ..ops.bitmap_matmul import fits_vmem
+
+            # halve in pow2 space: halving the raw cap then re-bucketing
+            # skipped sizes that fit (cap 593 -> 148 -> step 128 even
+            # though 256 fits the VMEM model)
+            while step > 8 and not fits_vmem(step, gp_eff):
+                step //= 2
 
         # resolved routing, recorded for the bench artifact: round 2 lost
         # 20x to a silent kernel->scan fallback that no artifact showed
