@@ -880,9 +880,14 @@ class SearchEngine:
     # kept set tracks the result size, so the static budgets bound the
     # gather width at 512 blocks; rows whose guard still fails retry at
     # 4x budgets with fill off.
+    # Budget 1024, not 512: ~20% of 10M queries sit on a "gap level" -
+    # e.g. 749 blocks at hit level 10 but only ~50 at 11 - where any h*
+    # above the fat level leaves < limit keys to certify the guard, so
+    # the whole fat level must fit (measured: kb 512 -> 101/512 retries,
+    # the fill rule cannot help because the needed level IS the fat one).
     HSTAR_SEL = True
-    HSTAR_KB1 = 512  # 1024-lane coarse block budget
-    HSTAR_KB2 = 512  # 128-lane block budget (gather width = KB2 * 128)
+    HSTAR_KB1 = 1024  # 1024-lane coarse block budget
+    HSTAR_KB2 = 1024  # 128-lane block budget (gather width = KB2 * 128)
     HSTAR_FILL = 2  # first-pass kept-block target, x limit
     # paired bit planes in the bitmap kernel (ops.bitmap_matmul "pair"):
     # halves the MXU dots per byte tile; exact while total query windows
