@@ -425,6 +425,10 @@ def candidates_matmul_impl(
     block_sel: bool = False,
     with_bound: bool = False,
     approx: bool = False,
+    hstar: bool = False,
+    kb1: int = 512,
+    kb2: int = 512,
+    hs_fill: int = 2,
 ):
     ts, tl = di.n_short, di.n_long
     compute_short = compute_short and ts > 0
@@ -444,11 +448,25 @@ def candidates_matmul_impl(
     # runs at double rate on v5e.  (Narrowing hits to int8 was measured
     # SLOWER at 1M keys - 1300 -> 1050 qps - the f32 re-expansion in each
     # consumer costs more than the saved HBM traffic.)
-    hits = jnp.dot(
-        qcnt, gram_matrix, preferred_element_type=jnp.int32
-    ).astype(jnp.float32)
+    hits = jnp.dot(qcnt, gram_matrix, preferred_element_type=jnp.int32)
+    if hstar and qslots.shape[1] <= 127:
+        h8 = hits.astype(jnp.int8)  # exact: counts <= qmax <= 127
+        tlp = h8.shape[1]
+        pad = (-tlp) % (_BLK * 8)
+        if pad:
+            h8 = jnp.pad(h8, ((0, 0), (0, pad)))
+        nblk = h8.shape[1] // _BLK
+        hmax = block_hmax(h8, nblk, _BLK)
+        return _hstar_finish(
+            di, pt, xt, h8, hmax, qtokens, qlens, n_qgrams, use_short,
+            promo_ids, promo_terms, promo_weights, limits, threshold,
+            compute_short=compute_short, kb1=kb1, kb2=kb2, n_cand=n_cand,
+            n_edge=n_edge, top_k=top_k, with_bound=with_bound,
+            vmax=int(qslots.shape[1]), blk=_BLK, fill=hs_fill,
+        )
     return _dense_hits_finish(
-        di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
+        di, pt, xt, hits.astype(jnp.float32), qtokens, qlens, n_qgrams,
+        use_short, promo_ids,
         promo_terms, promo_weights, limits, threshold,
         compute_short=compute_short, n_cand=n_cand,
         n_edge=n_edge, top_k=top_k,
@@ -532,7 +550,8 @@ candidates_matmul = functools.partial(
     jax.jit,
     static_argnames=(
         "compute_short", "n_cand", "n_edge", "top_k",
-        "block_sel", "with_bound", "approx",
+        "block_sel", "with_bound", "approx", "hstar", "kb1", "kb2",
+        "hs_fill",
     ),
 )(candidates_matmul_impl)
 

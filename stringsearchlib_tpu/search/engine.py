@@ -601,8 +601,9 @@ class SearchEngine:
                 long_buckets=self.host.long_dp_buckets(),
             )
             pending.append((chunk, res))
-        for chunk, res in pending:
-            counts, ids_b, scores_b = jax.device_get(res)
+        fetched = jax.device_get([res for _, res in pending])
+        for (chunk, _), got in zip(pending, fetched):
+            counts, ids_b, scores_b = got
             for r, item in enumerate(chunk):
                 self._emit_row(
                     out, item[0], counts[r], ids_b[r], scores_b[r], limit
@@ -772,7 +773,10 @@ class SearchEngine:
         n = min(int(count), limit, ids_row.shape[0])
         out[pos] = (
             self.host.key_strings.take(ids_row[:n]),
-            [float(s) for s in scores_row[:n]],
+            # float64 tolist yields Python floats at C speed: the
+            # [float(s) for s in row] loop measured 47 ms per 512x100
+            # result emit
+            scores_row[:n].astype(np.float64).tolist(),
         )
 
     def _run_dense_chunks(self, items, threshold, limit, batch_bucket, qp, out):
@@ -796,8 +800,9 @@ class SearchEngine:
                 top_k=top_k,
             )
             pending.append((chunk, res))
-        for chunk, res in pending:
-            counts, ids_b, scores_b = jax.device_get(res)
+        fetched = jax.device_get([res for _, res in pending])
+        for (chunk, _), got in zip(pending, fetched):
+            counts, ids_b, scores_b = got
             for r, item in enumerate(chunk):
                 self._emit_row(out, item[0], counts[r], ids_b[r], scores_b[r], limit)
 
@@ -1039,7 +1044,20 @@ class SearchEngine:
                 sk_packed = False
                 sk = self.host.sketch_tables(self.SKETCH_BUDGET)
         pt, xt = self.host.prim_tables()
+        # escalation retries widen the h* block budgets with the
+        # selection width (shared by the gm and bm front ends)
+        hs_scale = max(cand_cap // self.CAND_TERMS_FAST, 1)
+        hs_kb1 = self.HSTAR_KB1 * hs_scale
+        hs_kb2 = self.HSTAR_KB2 * hs_scale
+        hs_fill = (
+            self.HSTAR_FILL if cand_cap == self.CAND_TERMS_FAST else 0
+        )
         if gm is not None:
+            gm_hstar = (
+                self.HSTAR_SEL
+                and self.host.uniform_weights
+                and slots.shape[1] <= 127
+            )
             n_lanes = (ts if compute_short else 0) + tl
             per_q = 48 * (ts + tl) + 24 * n_edge + (1 << 16)
         elif bm is not None:
@@ -1091,11 +1109,6 @@ class SearchEngine:
                 comp = self._compact_gram_rows(slots, gp_rows)
                 if comp is not None:
                     bm_rows, bm_slots, gp_eff = comp
-            # escalation retries widen the h* block budgets with the
-            # selection width
-            hs_scale = max(cand_cap // self.CAND_TERMS_FAST, 1)
-            hs_kb1 = self.HSTAR_KB1 * hs_scale
-            hs_kb2 = self.HSTAR_KB2 * hs_scale
             if bm_kernel:
                 # fused epilogue skips the separate (B, Tl) blockmax temp;
                 # the rescore buffers hold kb x blk lanes (~16 B/lane)
@@ -1156,6 +1169,7 @@ class SearchEngine:
         # 20x to a silent kernel->scan fallback that no artifact showed
         if gm is not None:
             variant = "matmul"
+            gm_hstar = gm_hstar and n_lanes >= 4 * hs_kb2 * _BLK
         elif tiny_runs:
             variant = "tiny_runs"
         elif bm is not None:
@@ -1171,6 +1185,8 @@ class SearchEngine:
             "block_sel": bool(block_sel),
             "approx_sel": approx_sel,
         }
+        if variant == "matmul":
+            self.last_routing["hstar"] = bool(gm_hstar)
         if variant.startswith("bitmap"):
             from ..ops.bitmap_matmul import SBLK_MAX as _SB
 
@@ -1211,6 +1227,11 @@ class SearchEngine:
             sl = slice(lo, lo + b)
             lim_arr = np.full((b,), min(limit, 2**30), dtype=np.int32)
             if gm is not None:
+                gkw = {}
+                if gm_hstar:
+                    gkw = dict(
+                        hstar=True, kb1=hs_kb1, kb2=hs_kb2, hs_fill=hs_fill
+                    )
                 res = candidates_matmul(
                     di,
                     gm,
@@ -1232,6 +1253,7 @@ class SearchEngine:
                     top_k=top_k,
                     block_sel=block_sel,
                     approx=approx_sel,
+                    **gkw,
                 )
             elif bm is not None:
                 fe = candidates_bitmap_mxu if bm_kernel else candidates_bitmap
@@ -1250,10 +1272,7 @@ class SearchEngine:
                         kw["hstar"] = True
                         kw["kb1"] = hs_kb1
                         kw["kb2"] = hs_kb2
-                        kw["hs_fill"] = (
-                            self.HSTAR_FILL
-                            if cand_cap == self.CAND_TERMS_FAST else 0
-                        )
+                        kw["hs_fill"] = hs_fill
                 res = fe(
                     di,
                     bm_table,
@@ -1342,8 +1361,11 @@ class SearchEngine:
             pending.append((lo, hi, res))
 
         retry = []
-        for lo, hi, res in pending:
-            counts, ids_b, scores_b, _, exact = jax.device_get(res)
+        # ONE fused fetch for every chunk: per-chunk device_get serializes
+        # a ~24 ms tunnel round trip apiece
+        fetched = jax.device_get([res for _, _, res in pending])
+        for (lo, hi, _), got in zip(pending, fetched):
+            counts, ids_b, scores_b, _, exact = got
             for r, item in enumerate(items[lo:hi]):
                 if exact[r]:
                     self._emit_row(
