@@ -893,7 +893,13 @@ class SearchEngine:
     HSTAR_SEL = True
     HSTAR_KB1 = 1024  # 1024-lane coarse block budget
     HSTAR_KB2 = 1024  # 128-lane block budget (gather width = KB2 * 128)
-    HSTAR_FILL = 2  # first-pass kept-block target, x limit
+    # kept-block fill target (x limit); 0 = keep every block the budget
+    # fits (h* = first_fit).  The gather/top-k shapes are STATIC at the
+    # kb budgets, so a nonzero fill saves almost nothing device-side yet
+    # adds guard failures whenever sigma_limit falls between h_fill and
+    # first_fit - and each retried query pays a full fixed-cost kernel
+    # pass.  Keep 0 unless budgets shrink dynamically some day.
+    HSTAR_FILL = 0
     # paired bit planes in the bitmap kernel (ops.bitmap_matmul "pair"):
     # halves the MXU dots per byte tile; exact while total query windows
     # <= 31 (gated per batch on the slot-matrix width)
