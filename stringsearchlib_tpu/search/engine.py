@@ -1225,7 +1225,22 @@ class SearchEngine:
                 bm_table = _gather_rows(bm[0], jnp.asarray(bm_rows))
 
         # dispatch every chunk before fetching any result: jax dispatch is
-        # async, so later chunks' compute overlaps earlier chunks' transfers
+        # async, so later chunks' compute overlaps earlier chunks' transfers.
+        # Batch arrays upload ONCE; chunks slice them ON DEVICE (each
+        # per-chunk jnp.asarray was its own host->device transfer through
+        # the tunnel).
+        qtok_d = jnp.asarray(qtok)
+        qlens_d = jnp.asarray(qlens)
+        slots_d = jnp.asarray(slots)
+        bm_slots_d = (
+            slots_d if bm is None or bm_slots is slots
+            else jnp.asarray(bm_slots)
+        )
+        nqg_d = jnp.asarray(nqg)
+        ushort_d = jnp.asarray(use_short)
+        promo_d = jnp.asarray(promo_all)
+        promo_t_d = jnp.asarray(promo_t)
+        promo_w_d = jnp.asarray(promo_w)
         pending = []
         for lo in range(0, len(items), step):
             hi = min(lo + step, len(items))
@@ -1243,14 +1258,14 @@ class SearchEngine:
                     gm,
                     pt,
                     xt,
-                    jnp.asarray(qtok[sl]),
-                    jnp.asarray(qlens[sl]),
-                    jnp.asarray(slots[sl]),
-                    jnp.asarray(nqg[sl]),
-                    jnp.asarray(use_short[sl]),
-                    jnp.asarray(promo_all[sl]),
-                    jnp.asarray(promo_t[sl]),
-                    jnp.asarray(promo_w[sl]),
+                    qtok_d[sl],
+                    qlens_d[sl],
+                    slots_d[sl],
+                    nqg_d[sl],
+                    ushort_d[sl],
+                    promo_d[sl],
+                    promo_t_d[sl],
+                    promo_w_d[sl],
                     lim_arr,
                     np.float32(threshold),
                     compute_short=compute_short,
@@ -1284,14 +1299,14 @@ class SearchEngine:
                     bm_table,
                     pt,
                     xt,
-                    jnp.asarray(qtok[sl]),
-                    jnp.asarray(qlens[sl]),
-                    jnp.asarray(bm_slots[sl]),
-                    jnp.asarray(nqg[sl]),
-                    jnp.asarray(use_short[sl]),
-                    jnp.asarray(promo_all[sl]),
-                    jnp.asarray(promo_t[sl]),
-                    jnp.asarray(promo_w[sl]),
+                    qtok_d[sl],
+                    qlens_d[sl],
+                    bm_slots_d[sl],
+                    nqg_d[sl],
+                    ushort_d[sl],
+                    promo_d[sl],
+                    promo_t_d[sl],
+                    promo_w_d[sl],
                     lim_arr,
                     np.float32(threshold),
                     compute_short=compute_short,
@@ -1320,14 +1335,14 @@ class SearchEngine:
                     wmax_pad,
                     pt,
                     xt,
-                    jnp.asarray(qtok[sl]),
-                    jnp.asarray(qlens[sl]),
-                    jnp.asarray(slots[sl]),
-                    jnp.asarray(nqg[sl]),
-                    jnp.asarray(use_short[sl]),
-                    jnp.asarray(promo_all[sl]),
-                    jnp.asarray(promo_t[sl]),
-                    jnp.asarray(promo_w[sl]),
+                    qtok_d[sl],
+                    qlens_d[sl],
+                    slots_d[sl],
+                    nqg_d[sl],
+                    ushort_d[sl],
+                    promo_d[sl],
+                    promo_t_d[sl],
+                    promo_w_d[sl],
                     lim_arr,
                     np.float32(threshold),
                     d_log2=d_log2,
@@ -1346,14 +1361,14 @@ class SearchEngine:
                     di,
                     pt,
                     xt,
-                    jnp.asarray(qtok[sl]),
-                    jnp.asarray(qlens[sl]),
-                    jnp.asarray(slots[sl]),
-                    jnp.asarray(nqg[sl]),
-                    jnp.asarray(use_short[sl]),
-                    jnp.asarray(promo_all[sl]),
-                    jnp.asarray(promo_t[sl]),
-                    jnp.asarray(promo_w[sl]),
+                    qtok_d[sl],
+                    qlens_d[sl],
+                    slots_d[sl],
+                    nqg_d[sl],
+                    ushort_d[sl],
+                    promo_d[sl],
+                    promo_t_d[sl],
+                    promo_w_d[sl],
                     lim_arr,
                     np.float32(threshold),
                     compute_short=compute_short,
