@@ -150,3 +150,50 @@ def test_block_selection_soundness():
         if case == "sparse":
             assert covered
             assert set(pos) <= set(sel[valid].tolist())
+
+
+def test_matmul_hstar_matches_plain_topk(big_engine):
+    """Integer h* selection on the dense-matmul front end: rows both
+    variants mark exact must agree (uniform weights required)."""
+    engine, words = big_engine
+    host = engine.host
+    assert host.uniform_weights
+    queries = [w[:8] for w in words[:24]]
+    qtok, qlens, slots, nqg, us, promo, lim, cs = _kernel_inputs(
+        engine, queries, 10
+    )
+    gm = host.gram_matrix(engine.GM_BUDGET)
+    pt, xt = host.prim_tables()
+    promo_t, promo_w = engine._promo_tables(np.asarray(promo))
+
+    def run(**kw):
+        return [
+            np.asarray(a)
+            for a in candidates_matmul(
+                host.device, gm, pt, xt, qtok, qlens, slots, nqg, us,
+                promo, promo_t, promo_w, lim, np.float32(0.3),
+                compute_short=cs, n_edge=16, top_k=16, **kw,
+            )
+        ]
+
+    cnt_p, ids_p, sc_p, _, ex_p = run(n_cand=4096, block_sel=False)
+    cnt_h, ids_h, sc_h, _, ex_h = run(
+        n_cand=1024, hstar=True, kb1=32, kb2=64, hs_fill=0
+    )
+    both = ex_p & ex_h
+    assert both.any()
+    for r in np.nonzero(both)[0]:
+        n = min(int(cnt_p[r]), 10, ids_p.shape[1])
+        assert min(int(cnt_h[r]), 10) == min(int(cnt_p[r]), 10)
+        gs = sorted(zip(np.round(sc_h[r][:n], 5), ids_h[r][:n] * 0))
+        ws = sorted(zip(np.round(sc_p[r][:n], 5), ids_p[r][:n] * 0))
+        assert gs == ws, r
+    # starved budgets never return wrong exact rows
+    cnt_s, ids_s, sc_s, _, ex_s = run(
+        n_cand=64, hstar=True, kb1=2, kb2=4, hs_fill=2
+    )
+    for r in np.nonzero(ex_s & ex_p)[0]:
+        n = min(int(cnt_s[r]), 10, ids_s.shape[1])
+        gs = sorted(np.round(sc_s[r][:n], 5).tolist())
+        ws = sorted(np.round(sc_p[r][:n], 5).tolist())
+        assert gs == ws, r
