@@ -103,6 +103,31 @@ def _mutate(rng: random.Random, s: str) -> str:
     return "".join(chars)
 
 
+_RTT_CACHE: list = []
+
+
+def _tunnel_rtt_ms() -> float:
+    """Median dispatch+fetch round trip for a trivial op: the fixed
+    per-call latency the remote PJRT tunnel adds (~25-40 ms; ~0 on a
+    direct-attached chip)."""
+    if _RTT_CACHE:
+        return _RTT_CACHE[0]
+    import jax
+    import jax.numpy as jnp
+
+    def nop(r):
+        return jax.device_get(jnp.asarray(np.float32(r)) + 1.0)
+
+    nop(0)
+    ts = []
+    for r in range(5):
+        t0 = time.perf_counter()
+        nop(r + 1)
+        ts.append(time.perf_counter() - t0)
+    _RTT_CACHE.append(float(np.median(ts) * 1e3))
+    return _RTT_CACHE[0]
+
+
 def _run_config(words, n_queries, threshold, limit, reps, singles=0,
                 row_size=1, weights=None, config=None):
     """Build + search one corpus; returns a dict of measurements."""
@@ -199,6 +224,14 @@ def _run_config(words, n_queries, threshold, limit, reps, singles=0,
             (time.perf_counter() - t2) / len(qs) * 1e3, 3
         )
         out["single_query_routing"] = dict(engine.last_routing)
+        # tunnel-excluded estimate (BASELINE tracks top-100 p50): each
+        # single query pays one dispatch+fetch round trip that a
+        # direct-attached chip would not
+        rtt = _tunnel_rtt_ms()
+        out["tunnel_rtt_ms"] = round(rtt, 1)
+        out["single_query_device_ms_est"] = round(
+            max(out["single_query_p50_ms"] - rtt, 0.0), 3
+        )
     del engine, host, gm, bm, sk
     gc.collect()
     return out

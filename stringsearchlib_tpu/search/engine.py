@@ -1383,10 +1383,14 @@ class SearchEngine:
 
         retry = []
         # ONE fused fetch for every chunk: per-chunk device_get serializes
-        # a ~24 ms tunnel round trip apiece
-        fetched = jax.device_get([res for _, _, res in pending])
+        # a ~24 ms tunnel round trip apiece.  The key-length vector (res[3])
+        # is a ranking intermediate the host never reads - skipping it cuts
+        # the fetched payload ~25% (the tunnel moves results at ~20 MB/s)
+        fetched = jax.device_get(
+            [(res[0], res[1], res[2], res[4]) for _, _, res in pending]
+        )
         for (lo, hi, _), got in zip(pending, fetched):
-            counts, ids_b, scores_b, _, exact = got
+            counts, ids_b, scores_b, exact = got
             for r, item in enumerate(items[lo:hi]):
                 if exact[r]:
                     self._emit_row(

@@ -209,14 +209,14 @@ def main():
             ),
         )(qcnt.astype(jnp.int8), planes)
 
-    for variant in ("base", "nodecode", "rawi32", "onedot", "onestore",
-                    "noand"):
+    for variant in ("noand", "onedot", "onestore", "base"):
         def f(r, v=variant):
             q = jnp.asarray(np.roll(qcnt_np, r, axis=0), dtype=jnp.bfloat16)
             return run(q, table, variant=v)
 
         timeit(f"kernel {variant}", f)
 
+    return  # front sweep moved to probe_sweep2
     # ----------------- h* budget sweep: guard failures ------------------
     from stringsearchlib_tpu.search.candidates import candidates_bitmap_mxu
 
