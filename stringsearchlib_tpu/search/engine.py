@@ -819,9 +819,16 @@ class SearchEngine:
     SKETCH_PACKED = True  # packed sketch through the bitmap kernel
     # tiny-batch override: batches this small on gm-less (huge) indexes
     # skip the fixed full-table bitmap/sketch stream and take the runs
-    # path when each query's bucketed posting mass fits RUNS_TINY_LANES
+    # path when each query's bucketed posting mass fits RUNS_TINY_LANES.
+    # The lane gate is deliberately tight: runs cost follows posting
+    # mass, and on stop-gram-heavy corpora a query's mass reaches ~1.3x
+    # the TERM count (12.7M at 10M keys, docs/PERF.md round 4).  At
+    # 1 << 22 the 2.5M-key guard-retry rows (mass ~3.2M) routed here and
+    # one 8-row retry cost 4.3 s/batch - 20x the kernel it was avoiding
+    # (tools/scaling_real.py round-4 run).  1 << 20 lanes x 8 rows still
+    # sorts in ~30 ms, under one full-table kernel pass.
     RUNS_TINY_BATCH = 8
-    RUNS_TINY_LANES = 1 << 22
+    RUNS_TINY_LANES = 1 << 20
     # batches at or under this size skip the Pallas kernel for the XLA
     # per-slot scan (see _cand_pass): the kernel pays a fixed ~65 ms of
     # full-table unpack+dot at 10M keys regardless of B.  Measured on

@@ -7,17 +7,23 @@ harness produces the defensible story on the one real chip:
   1. per-shard COMPUTE scaling: throughput of shard-sized subindexes
      (T, T/2, T/4, T/8 keys) under the identical query load - exactly
      the work one chip of an S-shard data-parallel mesh performs;
-  2. a linear fit t(T) = a + b*T of per-query device time, separating
-     the table-proportional term from fixed per-chunk costs;
-  3. the merge term, modeled from the sharded engine's recorded
-     collective payload (top-k ids+scores+bounds per shard: 200-1600
-     bytes/query at 1-8 shards, riding ICI at ~100 GB/s -> negligible
-     wire time) plus the replicated global top-k, timed on-chip at the
-     S=8 candidate shape;
-  4. projected DP scaling efficiency eff(S, T) =
-     t(T) / (S * (t(T/S) + t_merge)) for the BASELINE configs
-     (10M keys on 8 chips; 100M keys on 8 chips, per-shard 12.5M
-     extrapolated from the fit).
+  2. a linear fit t(T) = a + b*T of per-query time, separating the
+     table-proportional term from fixed per-chunk costs (retry, fetch,
+     host prep: ~0.4 ms/query at B=512, docs/PERF.md round 4);
+  3. the merge term, timed on-chip at the S=8 candidate shape (global
+     top-k over S*k candidates), net of the tunnel round trip, plus
+     wire time from the recorded collective payload (200-1600
+     bytes/query riding ICI at ~100 GB/s -> negligible);
+  4. projected efficiency in BOTH framings:
+       - weak/capacity scaling (the deployment target: the index is
+         sharded because it cannot fit one chip): S shards each holding
+         the single-chip load T -> eff_weak = t(T) / (t(T) + t_merge);
+         also qps for 100M keys on 8 chips (12.5M/shard via the fit);
+       - strong scaling at fixed T=10M: eff_strong(S) =
+         t(T) / (S * (t(T/S) + t_merge)).  This is honestly LOW (~0.2
+         at S=8) because the fixed per-batch costs replicate onto
+         every shard while the table term shrinks - sharding 10M keys
+         8 ways buys latency headroom and capacity, not 8x throughput.
 
 Writes SCALING.json (v2 schema) consumed by bench.py.
 
@@ -116,6 +122,20 @@ def main():
         )
         return o_k[:, :k], o_s[:, :k]
 
+    # tunnel round trip: subtract it from the merge timing (the merge is
+    # ONE extra device op per chunk in the sharded step, not a separate
+    # host round trip)
+    def nop(r):
+        return jax.device_get(jnp.asarray(np.float32(r)) + 1.0)
+
+    nop(0)
+    rts = []
+    for r in range(5):
+        t1 = time.perf_counter()
+        nop(r + 1)
+        rts.append(time.perf_counter() - t1)
+    rtt_ms = float(np.median(rts) * 1e3)
+
     rngn = np.random.default_rng(0)
     sc = rngn.random((bsz, s_max * k)).astype(np.float32)
     ln = rngn.integers(1, 30, (bsz, s_max * k)).astype(np.int32)
@@ -128,28 +148,39 @@ def main():
         out = merge(sc2, ln, ky)
         jax.device_get(out[0][:1, :1])
         ts.append(time.perf_counter() - t1)
-    t_merge_chunk_ms = float(np.median(ts) * 1e3)
+    t_merge_chunk_ms = max(float(np.median(ts) * 1e3) - rtt_ms, 0.1)
     t_merge_ms = t_merge_chunk_ms / bsz
     # wire time: recorded collective payload (SCALING round-3 artifact)
     wire_bytes = {1: 200, 2: 400, 4: 800, 8: 1600}
     ici_gbps = 100.0  # v5e per-link ICI, conservative
-    log(f"merge: {t_merge_chunk_ms:.2f} ms / {bsz}-chunk "
-        f"({t_merge_ms*1e3:.2f} us/query)")
+    log(f"merge: {t_merge_chunk_ms:.2f} ms net / {bsz}-chunk "
+        f"({t_merge_ms*1e3:.2f} us/query; rtt {rtt_ms:.1f} ms)")
 
-    def eff(s, total):
-        t1 = a_ms + b_ms * total
-        ts_ = a_ms + b_ms * (total / s)
-        tm = t_merge_ms + wire_bytes.get(s, 200 * s) / (ici_gbps * 1e6)
-        return t1 / (s * (ts_ + tm))
+    def t_of(total):
+        return a_ms + b_ms * total
 
+    def tm_of(s):
+        return t_merge_ms + wire_bytes.get(s, 200 * s) / (ici_gbps * 1e6)
+
+    def eff_strong(s, total):
+        return t_of(total) / (s * (t_of(total / s) + tm_of(s)))
+
+    t10 = points[n_top]["per_query_ms"]
     proj = {
-        "eff_8shard_10M": round(eff(8, 10e6), 3),
-        "eff_4shard_10M": round(eff(4, 10e6), 3),
-        "eff_2shard_10M": round(eff(2, 10e6), 3),
-        "eff_8shard_100M": round(eff(8, 100e6), 3),
+        # weak / capacity scaling: each of S shards carries the full
+        # single-chip load (the BASELINE deployment: the index grows
+        # with the mesh).  Only the merge is extra work.
+        "eff_weak_per_shard_load": round(t10 / (t10 + tm_of(8)), 3),
         "qps_8shard_100M_proj": round(
-            1e3 / (a_ms + b_ms * 12.5e6 + t_merge_ms), 1
+            1e3 / (t_of(100e6 / 8) + tm_of(8)), 1
         ),
+        "qps_1chip_10M_measured": round(1e3 / t10, 1),
+        # strong scaling at fixed T: low by construction - the fixed
+        # per-batch term a (retry + fetch + host, ~0.4 ms/q) replicates
+        # onto every shard while only the table term b*T shrinks
+        "eff_strong_8shard_10M": round(eff_strong(8, 10e6), 3),
+        "eff_strong_4shard_10M": round(eff_strong(4, 10e6), 3),
+        "eff_strong_2shard_10M": round(eff_strong(2, 10e6), 3),
     }
     log("projection:", json.dumps(proj))
 
@@ -157,9 +188,12 @@ def main():
         "schema": 2,
         "method": (
             "real-chip shard-sized subindex throughput + linear fit "
-            "t(T)=a+b*T + on-chip merge timing + recorded collective "
-            "bytes; eff(S,T) = t(T) / (S*(t(T/S)+t_merge))"
+            "t(T)=a+b*T + on-chip merge timing (net of tunnel rtt) + "
+            "recorded collective bytes; weak/capacity framing "
+            "eff = t(T)/(t(T)+t_merge), strong framing "
+            "eff(S,T) = t(T)/(S*(t(T/S)+t_merge))"
         ),
+        "tunnel_rtt_ms": round(rtt_ms, 1),
         "n_queries": n_q,
         "threshold": threshold,
         "limit": limit,
