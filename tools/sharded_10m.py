@@ -66,12 +66,12 @@ def main():
     log(f"shard x{n_shards} {time.time()-t0:.1f}s")
 
     # measured per-shard residency (the capacity plan's terms)
-    leaves = jax.tree_util.tree_leaves(sx.device)
     per_shard = sum(
-        leaf.nbytes // n_shards for leaf in leaves
+        leaf.nbytes // n_shards
+        for leaf in sx.leaves.values()
         if hasattr(leaf, "nbytes")
     )
-    log(f"sharded device leaves: {per_shard/1e6:.1f} MB/shard")
+    log(f"sharded leaves: {per_shard/1e6:.1f} MB/shard")
 
     seng = ShardedEngine(sx, mesh)
     t0 = time.time()
