@@ -1059,6 +1059,7 @@ def candidates_bitmap_mxu_impl(
     kb2: int = 512,
     hs_fill: int = 2,
     pair_dots: bool = False,
+    keep_hits: bool = False,
 ):
     """EXACT hit counts via the Pallas unpack-matmul kernel
     (ops.bitmap_matmul): the packed incidence streams through VMEM once
@@ -1088,13 +1089,20 @@ def candidates_bitmap_mxu_impl(
         hits, hmax = bitmap_hits_bmax(
             qcnt, bitmap, interpret=interpret, int8_dots=dots
         )
-        return _hstar_finish(
+        res = _hstar_finish(
             di, pt, xt, hits, hmax, qtokens, qlens, n_qgrams, use_short,
             promo_ids, promo_terms, promo_weights, limits, threshold,
             compute_short=compute_short, kb1=kb1, kb2=kb2, n_cand=n_cand,
             n_edge=n_edge, top_k=top_k, with_bound=with_bound,
             vmax=int(qslots.shape[1]), blk=_BLK, fill=hs_fill,
         )
+        if keep_hits:
+            # hand the device-resident hits/hmax back to the caller so a
+            # guard-failed row can re-select at wider budgets WITHOUT
+            # re-streaming the packed table (the kernel re-run was 60+ of
+            # the 84 ms escalation pass at 10M keys for ~3/512 rows)
+            return res + (hits, hmax)
+        return res
     if block_sel:
         if fused_bmax:
             # blockmax computed in the kernel's VMEM epilogue: skips the
@@ -1136,8 +1144,59 @@ candidates_bitmap_mxu = functools.partial(
         "compute_short", "n_cand", "n_edge", "top_k",
         "block_sel", "with_bound", "interpret", "fused_bmax", "bmax_blk",
         "approx", "kb_lanes", "hstar", "kb1", "kb2", "hs_fill", "pair_dots",
+        "keep_hits",
     ),
 )(candidates_bitmap_mxu_impl)
+
+
+def hstar_retry_impl(
+    di,
+    hits,  # (Br, Tl_pad) int8 rows taken from a retained kernel output
+    hmax,  # (Br, Tl_pad/128) int8 fused blockmax rows for the same queries
+    pt,
+    xt,
+    qtokens,
+    qlens,
+    n_qgrams,
+    use_short,
+    promo_ids,
+    promo_terms,
+    promo_weights,
+    limits,
+    threshold,
+    *,
+    compute_short: bool,
+    kb1: int,
+    kb2: int,
+    n_cand: int,
+    top_k: int,
+    n_edge: int,
+    vmax: int,
+):
+    """Selection-only escalation for guard-failed h* rows.
+
+    The escalation pass used to re-run the WHOLE front end (full packed-
+    table stream, 60+ ms at 10M keys) for the ~0.6% of rows whose
+    limit-th score ties the h*-1 bound; the hit counts it recomputed are
+    bit-identical to the first pass's.  This entry re-runs only
+    _hstar_finish at the escalated budgets (kb = 4096: the level that
+    measurably clears fat-tie rows, docs/PERF.md round 4) on hits rows
+    gathered from the retained first-pass output."""
+    return _hstar_finish(
+        di, pt, xt, hits, hmax, qtokens, qlens, n_qgrams, use_short,
+        promo_ids, promo_terms, promo_weights, limits, threshold,
+        compute_short=compute_short, kb1=kb1, kb2=kb2, n_cand=n_cand,
+        n_edge=n_edge, top_k=top_k, with_bound=False, vmax=vmax,
+        blk=_BLK, fill=0,
+    )
+
+
+hstar_retry = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "compute_short", "kb1", "kb2", "n_cand", "top_k", "n_edge", "vmax",
+    ),
+)(hstar_retry_impl)
 
 
 # ---------------------------------------------------------------------------

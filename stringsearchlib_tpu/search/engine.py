@@ -947,22 +947,123 @@ class SearchEngine:
 
         Escalating selection widths: most rows are exact at a narrow
         top-C (C = CAND_TERMS_FAST), which keeps the dominant selection
-        top-k cheap; rows whose exactness guard fails re-run at CAND_TERMS
+        top-k cheap; rows whose exactness guard fails re-select at
+        CAND_TERMS-scale budgets - from the RETAINED first-pass hit
+        matrix when the h* kernel path ran (selection only, no second
+        full-table stream), via a full second front-end pass otherwise -
         and only then fall back to the dense path."""
-        retry, n_used, n_avail = self._cand_pass(
+        retry, n_used, n_avail, sel_ctx = self._cand_pass(
             items, threshold, limit, batch_bucket, qp, out,
             self.CAND_TERMS_FAST,
         )
         n_retry_fast = len(retry)
+        n_sel = None
+        if retry and sel_ctx is not None:
+            retry = self._hstar_sel_retry(sel_ctx, threshold, limit, out)
+            n_sel = len(retry)  # survivors of the selection-only retry
         if retry and n_used < min(self.CAND_TERMS, n_avail):
-            retry, _, _ = self._cand_pass(
+            retry, _, _, _ = self._cand_pass(
                 retry, threshold, limit, batch_bucket, qp, out,
                 self.CAND_TERMS,
             )
             self.last_routing["retry_full"] = len(retry)
+        if n_sel is not None:  # after the full pass: it resets last_routing
+            self.last_routing["retry_sel"] = n_sel
         self.last_routing["retry_fast"] = n_retry_fast
         self.last_routing["n_items"] = len(items)
         return retry
+
+    def _hstar_sel_retry(self, sel_ctx, threshold, limit, out):
+        """Re-select guard-failed rows from the retained first-pass hits.
+
+        The hit counts a full escalation pass would recompute are
+        bit-identical (same slots, same table), so failing rows only need
+        _hstar_finish again at the 4x budgets (kb=4096 clears the fat-tie
+        rows, docs/PERF.md round 4).  Gathers the failing rows out of each
+        chunk's device-resident hits/hmax (a few contiguous 10.5 MB rows)
+        and runs one selection-only dispatch - no packed-table re-stream.
+        Returns the rows whose guard STILL fails (exact-parity fallback:
+        they take the old escalation chain)."""
+        from .candidates import hstar_retry
+
+        fails = sel_ctx["fails"]  # [(item, chunk_idx, row_in_chunk, grow)]
+        di = self.host.device
+        b_r = _next_pow2(len(fails), 8)
+        pad = b_r - len(fails)
+        # concat order: group by chunk so each chunk contributes one take;
+        # pad rows replicate the last entry (their outputs are ignored)
+        order = sorted(range(len(fails)), key=lambda fi: fails[fi][1])
+        slots_rows = order + [order[-1]] * pad
+        hit_parts, hmax_parts = [], []
+        lo = 0
+        while lo < len(slots_rows):
+            ci = fails[slots_rows[lo]][1]
+            hi = lo
+            while hi < len(slots_rows) and fails[slots_rows[hi]][1] == ci:
+                hi += 1
+            idx = jnp.asarray(
+                np.asarray(
+                    [fails[fi][2] for fi in slots_rows[lo:hi]], np.int32
+                )
+            )
+            hits_ref, hmax_ref = sel_ctx["chunks"][ci]
+            hit_parts.append(jnp.take(hits_ref, idx, axis=0))
+            hmax_parts.append(jnp.take(hmax_ref, idx, axis=0))
+            lo = hi
+        hits_r = (
+            hit_parts[0] if len(hit_parts) == 1
+            else jnp.concatenate(hit_parts, axis=0)
+        )
+        hmax_r = (
+            hmax_parts[0] if len(hmax_parts) == 1
+            else jnp.concatenate(hmax_parts, axis=0)
+        )
+        grows = np.asarray(
+            [fails[fi][3] for fi in slots_rows], np.int64
+        )
+        lim_arr = np.full((b_r,), min(limit, 2**30), dtype=np.int32)
+        scale = max(self.CAND_TERMS // self.CAND_TERMS_FAST, 1)
+        n_lanes = sel_ctx["n_lanes"]
+        n_cand = min(
+            self.CAND_TERMS, max(_next_pow2(n_lanes, 16), 16), n_lanes
+        )
+        res = hstar_retry(
+            di,
+            hits_r,
+            hmax_r,
+            sel_ctx["pt"],
+            sel_ctx["xt"],
+            jnp.asarray(sel_ctx["qtok"][grows]),
+            jnp.asarray(sel_ctx["qlens"][grows]),
+            jnp.asarray(sel_ctx["nqg"][grows]),
+            jnp.asarray(sel_ctx["use_short"][grows]),
+            jnp.asarray(sel_ctx["promo_all"][grows]),
+            jnp.asarray(sel_ctx["promo_t"][grows]),
+            jnp.asarray(sel_ctx["promo_w"][grows]),
+            lim_arr,
+            np.float32(threshold),
+            compute_short=sel_ctx["compute_short"],
+            kb1=self.HSTAR_KB1 * scale,
+            kb2=self.HSTAR_KB2 * scale,
+            n_cand=n_cand,
+            top_k=sel_ctx["top_k"],
+            n_edge=sel_ctx["n_edge"],
+            vmax=sel_ctx["vmax"],
+        )
+        counts, ids_b, scores_b, exact = jax.device_get(
+            (res[0], res[1], res[2], res[4])
+        )
+        still = []
+        for pos, fi in enumerate(order):
+            item = fails[fi][0]
+            if exact[pos]:
+                self._emit_row(
+                    out, item[0], counts[pos], ids_b[pos], scores_b[pos],
+                    limit,
+                )
+            else:
+                still.append(item)
+        return still
 
     def _cand_pass(self, items, threshold, limit, batch_bucket, qp, out, cand_cap):
         """One candidate-path sweep at selection width ``cand_cap``.
@@ -1225,6 +1326,18 @@ class SearchEngine:
             if bm_hstar:
                 self.last_routing.update(kb1=hs_kb1, kb2=hs_kb2)
 
+        # selection-only escalation: retain each chunk's device hits/hmax
+        # on the FIRST h* pass so guard-failed rows re-select at 4x
+        # budgets without a second full-table stream (_hstar_sel_retry).
+        # Peak HBM is unchanged: the budget already charges one hits
+        # matrix per in-flight chunk (per_q includes tlp) and every chunk
+        # is dispatched before any fetch.
+        keep_sel = (
+            variant == "bitmap_kernel"
+            and bool(bm_hstar)
+            and cand_cap == self.CAND_TERMS_FAST
+        )
+
         bm_table = None
         if bm is not None:
             bm_table = bm[0]
@@ -1301,6 +1414,7 @@ class SearchEngine:
                         kw["kb1"] = hs_kb1
                         kw["kb2"] = hs_kb2
                         kw["hs_fill"] = hs_fill
+                        kw["keep_hits"] = keep_sel
                 res = fe(
                     di,
                     bm_table,
@@ -1389,6 +1503,7 @@ class SearchEngine:
             pending.append((lo, hi, res))
 
         retry = []
+        fails = []
         # ONE fused fetch for every chunk: per-chunk device_get serializes
         # a ~24 ms tunnel round trip apiece.  The key-length vector (res[3])
         # is a ranking intermediate the host never reads - skipping it cuts
@@ -1396,7 +1511,7 @@ class SearchEngine:
         fetched = jax.device_get(
             [(res[0], res[1], res[2], res[4]) for _, _, res in pending]
         )
-        for (lo, hi, _), got in zip(pending, fetched):
+        for k, ((lo, hi, _), got) in enumerate(zip(pending, fetched)):
             counts, ids_b, scores_b, exact = got
             for r, item in enumerate(items[lo:hi]):
                 if exact[r]:
@@ -1405,7 +1520,29 @@ class SearchEngine:
                     )
                 else:
                     retry.append(item)
-        return retry, n_cand, n_lanes
+                    if keep_sel:
+                        fails.append((item, k, r, lo + r))
+        sel_ctx = None
+        if keep_sel and fails:
+            sel_ctx = {
+                "fails": fails,
+                "chunks": [(res[5], res[6]) for _, _, res in pending],
+                "pt": pt,
+                "xt": xt,
+                "qtok": qtok,
+                "qlens": qlens,
+                "nqg": nqg,
+                "use_short": use_short,
+                "promo_all": promo_all,
+                "promo_t": promo_t,
+                "promo_w": promo_w,
+                "compute_short": compute_short,
+                "top_k": top_k,
+                "n_edge": n_edge,
+                "vmax": int(bm_slots.shape[1]),
+                "n_lanes": n_lanes,
+            }
+        return retry, n_cand, n_lanes, sel_ctx
 
 
 SearchEngine._load_hw_switches()

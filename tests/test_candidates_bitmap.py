@@ -450,6 +450,130 @@ def test_hstar_front_end_parity(host_engine):
         assert gs == ws, (queries[r], gs, ws)
 
 
+def test_hstar_retry_from_retained_hits(host_engine):
+    """hstar_retry on rows taken from a keep_hits first pass == a full
+    front-end pass at the same generous budgets (the retained hit counts
+    are bit-identical, so selection-only escalation is exact)."""
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.search.candidates import (
+        candidates_bitmap_mxu, hstar_retry,
+    )
+
+    host, engine = host_engine
+    di = host.device
+    bm, _ = host.bitmap_tables()
+    pt, xt = host.prim_tables()
+    words = host.key_strings.tolist()
+    rng = random.Random(17)
+    queries = []
+    for i in range(8):
+        w = words[rng.randrange(len(words))]
+        queries.append(w if i % 2 else w[:-1] + "x")
+    items = []
+    for pos, q in enumerate(queries):
+        qnorm, qlen = engine._normalize_query(q)
+        promo = host.promo_key_ids(qnorm, qlen)
+        items.append((pos, qnorm, qlen, promo))
+    b, qtok, qlens, slots_a, nqg_a, use_short, _ = engine._prep_rows(
+        items, 32
+    )
+    promo_a = np.full((b, engine.PROMO_KEYS), -1, np.int32)
+    for r, it in enumerate(items):
+        promo_a[r, : it[3].size] = it[3]
+    promo_t, promo_w = engine._promo_tables(promo_a)
+    lim = np.full((b,), 10, np.int32)
+    args = (
+        di, bm, pt, xt, jnp.asarray(qtok), jnp.asarray(qlens),
+        jnp.asarray(slots_a), jnp.asarray(nqg_a), jnp.asarray(use_short),
+        jnp.asarray(promo_a), jnp.asarray(promo_t), jnp.asarray(promo_w),
+        jnp.asarray(lim), np.float32(0.25),
+    )
+    base = dict(compute_short=True, n_cand=4096, n_edge=32, top_k=16)
+    want = [np.asarray(x) for x in candidates_bitmap_mxu(
+        *args, interpret=True, hstar=True, kb1=64, kb2=64, **base
+    )]
+    assert want[4].all()
+    # starved first pass retains hits/hmax; some rows must fail its guard
+    got = candidates_bitmap_mxu(
+        *args, interpret=True, hstar=True, kb1=1, kb2=1, keep_hits=True,
+        **base,
+    )
+    assert len(got) == 7
+    failed = np.flatnonzero(~np.asarray(got[4]))
+    assert failed.size, "starved budgets should fail at least one guard"
+    idx = jnp.asarray(
+        np.concatenate([failed, failed[:1].repeat(8 - failed.size % 8)])
+        if failed.size % 8 else failed
+    )
+    re = [np.asarray(x) for x in hstar_retry(
+        di, jnp.take(got[5], idx, axis=0), jnp.take(got[6], idx, axis=0),
+        pt, xt,
+        jnp.asarray(qtok)[idx], jnp.asarray(qlens)[idx],
+        jnp.asarray(nqg_a)[idx], jnp.asarray(use_short)[idx],
+        jnp.asarray(promo_a)[idx], jnp.asarray(promo_t)[idx],
+        jnp.asarray(promo_w)[idx], jnp.asarray(lim)[idx],
+        np.float32(0.25),
+        compute_short=True, kb1=64, kb2=64, n_cand=4096, top_k=16,
+        n_edge=32, vmax=int(slots_a.shape[1]),
+    )]
+    assert re[4][: failed.size].all(), "generous retry must cover"
+    for p, r in enumerate(failed):
+        assert int(re[0][p]) == int(want[0][r])
+        n = min(int(re[0][p]), 16)
+        gs = sorted(zip(np.round(re[2][p][:n], 5), re[3][p][:n]))
+        ws = sorted(zip(np.round(want[2][r][:n], 5), want[3][r][:n]))
+        assert gs == ws, (queries[r], gs, ws)
+
+
+def test_engine_hstar_selection_retry(monkeypatch):
+    """Starved first-pass budgets escalate through _hstar_sel_retry (the
+    retained-hits selection-only pass), results stay dense-exact, and the
+    routing record shows the retry."""
+    import functools
+
+    import jax
+
+    from stringsearchlib_tpu.search import candidates as cmod
+    from stringsearchlib_tpu.search import engine as emod
+
+    host = build_index(_corpus(3000, seed=47), 1, None, IndexConfig())
+    eng = SearchEngine(host)
+    eng.GM_BUDGET = 0
+    monkeypatch.setattr(
+        cmod, "candidates_bitmap_mxu",
+        functools.partial(cmod.candidates_bitmap_mxu, interpret=True),
+    )
+    monkeypatch.setattr(emod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(eng, "CAND_MIN_TERMS", 100)
+    monkeypatch.setattr(eng, "HSTAR_KB1", 1)
+    monkeypatch.setattr(eng, "HSTAR_KB2", 1)
+    sel_calls = []
+    orig = eng._hstar_sel_retry
+
+    def spy(sel_ctx, threshold, limit, out):
+        sel_calls.append(len(sel_ctx["fails"]))
+        return orig(sel_ctx, threshold, limit, out)
+
+    monkeypatch.setattr(eng, "_hstar_sel_retry", spy)
+    words = host.key_strings.tolist()
+    rng = random.Random(7)
+    queries = []
+    for i in range(24):
+        w = words[rng.randrange(len(words))]
+        j = rng.randrange(max(len(w) - 1, 1))
+        queries.append(w if i % 3 == 0 else w[:j] + "x" + w[j + 1:])
+    got = eng.search_batch(queries, 0.25, 10, mode="candidates")
+    assert sel_calls and sel_calls[0] > 0, "selection retry never ran"
+    assert "retry_sel" in eng.last_routing
+    monkeypatch.setattr(emod.jax, "default_backend", jax.default_backend)
+    want = eng.search_batch(queries, 0.25, 10, mode="dense")
+    for q, g, w in zip(queries, got, want):
+        gs = sorted((round(s, 5), len(k)) for k, s in zip(*g))
+        ws = sorted((round(s, 5), len(k)) for k, s in zip(*w))
+        assert gs == ws, (q, g, w)
+
+
 def test_engine_hstar_parity(monkeypatch):
     """h* selection through the ENGINE (kernel forced via interpret mode):
     results match the dense path exactly and routing records hstar."""
