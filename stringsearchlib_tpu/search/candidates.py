@@ -1182,6 +1182,7 @@ def hstar_retry_impl(
     _hstar_finish at the escalated budgets (kb = 4096: the level that
     measurably clears fat-tie rows, docs/PERF.md round 4) on hits rows
     gathered from the retained first-pass output."""
+    compute_short = compute_short and di.n_short > 0
     return _hstar_finish(
         di, pt, xt, hits, hmax, qtokens, qlens, n_qgrams, use_short,
         promo_ids, promo_terms, promo_weights, limits, threshold,
