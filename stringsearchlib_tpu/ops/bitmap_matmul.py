@@ -387,6 +387,63 @@ def gather_rows_pallas(table, rows, *, interpret: bool | None = None):
     return out.reshape(gc, nb)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret", "nsem"))
+def gather_rows_dma(table, rows, *, interpret: bool | None = None,
+                    nsem: int = 8):
+    """Row gather as pipelined HBM->HBM DMAs: out[i] = table[rows[i]].
+
+    gather_rows_pallas pays a ~120 us grid-step overhead PER ROW (175 ms
+    for 1408 rows - the same ~11 GB/s as XLA's jnp.take; docs/PERF.md
+    round 4), because each row is its own pipelined grid step.  Here ONE
+    grid step issues every row copy as an explicit async DMA with
+    ``nsem`` in flight, straight HBM->HBM (the refs stay in ANY space,
+    no VMEM round trip): a 1.31 MB contiguous row is ~5 us of DMA, so
+    the gather runs at copy speed instead of grid-step speed.  Used by
+    the small-batch gathered-row front end (search.candidates), where
+    the batch's gram-union rows replace the full-table stream."""
+    if interpret is None:
+        interpret = INTERPRET
+    g, nb = table.shape
+    (gc,) = rows.shape
+
+    def kernel(rows_ref, t_ref, o_ref, sem):
+        def issue(k):
+            return pltpu.make_async_copy(
+                t_ref.at[rows_ref[k]], o_ref.at[k], sem.at[k % nsem]
+            )
+
+        def body(k, _):
+            # wait out the copy nsem behind before reusing its semaphore
+            @pl.when(k >= nsem)
+            def _drain():
+                issue(k - nsem).wait()
+
+            issue(k).start()
+            return 0
+
+        jax.lax.fori_loop(0, gc, body, 0, unroll=False)
+
+        def drain(k, _):
+            issue(k).wait()
+            return 0
+
+        jax.lax.fori_loop(max(gc - nsem, 0), gc, drain, 0, unroll=False)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((nsem,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((gc, nb), table.dtype),
+        interpret=interpret,
+    )(rows.astype(jnp.int32), table)
+    return out
+
+
 def bitmap_hits_ref(qcnt, planes):
     """Pure-XLA reference for tests: unpack the whole table and matmul."""
     gp, nb = planes.shape

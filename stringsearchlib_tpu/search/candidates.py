@@ -1200,6 +1200,117 @@ hstar_retry = functools.partial(
 )(hstar_retry_impl)
 
 
+# row-gather primitive for the gathered front end, switched by hardware
+# measurement (tools/probe_gather_r4.py): "dma" = one-step pipelined
+# HBM->HBM copies, "take" = XLA gather (correct everywhere, ~11 GB/s)
+GATHER_IMPL = "dma"
+
+
+def candidates_bitmap_gather_impl(
+    di,
+    bitmap,  # (G_pad, Tl_pad/8) int8 plane-tiled packed incidence (FULL)
+    rows,  # (Gc,) int32 batch gram-union table rows (dup-padded)
+    pt,
+    xt,
+    qtokens,
+    qlens,
+    qslots,  # (B, Qmax) int32 slots REMAPPED into [0, Gc), -1 absent
+    n_qgrams,
+    use_short,
+    promo_ids,
+    promo_terms,
+    promo_weights,
+    limits,
+    threshold,
+    *,
+    compute_short: bool,
+    n_cand: int,
+    n_edge: int,
+    top_k: int,
+    block_sel: bool = False,
+    with_bound: bool = False,
+    interpret: bool = False,
+    hstar: bool = False,
+    kb1: int = 512,
+    kb2: int = 512,
+    hs_fill: int = 2,
+):
+    """Small-batch bitmap front end: hits from the batch's OWN gram rows.
+
+    The full-table kernel streams the whole packed incidence per dispatch
+    (~62 ms at 10M keys) regardless of batch size; an interactive query's
+    gram union is ~20-40 rows (26-52 MB of table).  This front end
+    gathers just the union rows (one pipelined HBM->HBM DMA pass), then
+    takes 8 per-bit-plane int8 MXU dots against the compact
+    (B, Gc) count operand - work proportional to the union, not the
+    table.  Output column order matches the kernel's (plane-tiled term
+    order), so the h*/blockmax/dense finishes are shared unchanged.
+
+    Exact for any window count: plane p's masked dot returns h_p * 2^p
+    in int32 with no cross-plane carries (the engine still keeps
+    Qmax <= 127 here so the assembled hits fit the int8 selection ops).
+    Reference semantics: the same posting loop as the full kernel
+    (nGramSearch.hpp:289-298)."""
+    from ..ops.bitmap_matmul import BLKB, gather_rows_dma
+
+    ts = di.n_short
+    compute_short = compute_short and ts > 0
+    gc = rows.shape[0]
+    b = qslots.shape[0]
+    nb = bitmap.shape[1]
+    nt = nb // BLKB
+    qcnt = jax.vmap(
+        lambda row: jnp.zeros((gc,), jnp.int8)
+        .at[jnp.where(row >= 0, row, gc)]
+        .add(1, mode="drop")
+    )(qslots)
+    if (GATHER_IMPL == "dma" and not interpret
+            and jax.default_backend() != "cpu"):
+        rm = gather_rows_dma(bitmap, rows)
+    else:  # XLA gather: correct everywhere (CPU tests, fallback)
+        rm = jnp.take(bitmap, rows, axis=0)
+    u = rm.astype(jnp.uint8)  # bit-preserving; logical shifts
+    accs = []
+    for p in range(8):
+        op = ((u >> p) & jnp.uint8(1)).astype(jnp.int8)
+        acc = jnp.dot(qcnt, op, preferred_element_type=jnp.int32)
+        accs.append(acc.reshape(b, nt, BLKB))
+    hits = jnp.stack(accs, axis=2).reshape(b, nt * 8 * BLKB)
+    hits = hits.astype(jnp.int8)  # engine gates Qmax <= 127 on this path
+    if hstar:
+        tlp = nt * 8 * BLKB
+        hmax = block_hmax(hits, tlp // _BLK, _BLK)
+        return _hstar_finish(
+            di, pt, xt, hits, hmax, qtokens, qlens, n_qgrams, use_short,
+            promo_ids, promo_terms, promo_weights, limits, threshold,
+            compute_short=compute_short, kb1=kb1, kb2=kb2, n_cand=n_cand,
+            n_edge=n_edge, top_k=top_k, with_bound=with_bound,
+            vmax=int(qslots.shape[1]), blk=_BLK, fill=hs_fill,
+        )
+    if block_sel:
+        return _blockmax_finish(
+            di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short,
+            promo_ids, promo_terms, promo_weights, limits, threshold,
+            compute_short=compute_short, n_cand=n_cand, n_edge=n_edge,
+            top_k=top_k, with_bound=with_bound, hmax=None, blk=_BLK,
+        )
+    return _dense_hits_finish(
+        di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
+        promo_terms, promo_weights, limits, threshold,
+        compute_short=compute_short, n_cand=n_cand, n_edge=n_edge,
+        top_k=top_k, block_sel=False, with_bound=with_bound,
+    )
+
+
+candidates_bitmap_gather = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "compute_short", "n_cand", "n_edge", "top_k", "block_sel",
+        "with_bound", "interpret", "hstar", "kb1", "kb2", "hs_fill",
+    ),
+)(candidates_bitmap_gather_impl)
+
+
 # ---------------------------------------------------------------------------
 # front end B: sorted postings runs (gram-sparse corpora)
 # ---------------------------------------------------------------------------

@@ -700,6 +700,23 @@ class SearchEngine:
         out[mask] = np.searchsorted(used, slots[mask]).astype(np.int32)
         return rows, out, gp_c
 
+    def _gather_rows_plan(self, slots: np.ndarray):
+        """Gathered-row plan for a SMALL batch: (rows (gc,) int32 table
+        rows to gather, remapped slot matrix, gc) or None when the gram
+        union exceeds GATHER_ROWS_MAX (fall back to the full-table
+        stream).  Padding rows duplicate row 0; remapped slots never
+        reference them."""
+        used = np.unique(slots[slots >= 0])
+        if used.size == 0 or used.size > self.GATHER_ROWS_MAX:
+            return None
+        gc = _next_pow2(int(used.size), 32)
+        rows = np.zeros(gc, np.int32)
+        rows[: used.size] = used
+        out = np.full(slots.shape, -1, np.int32)
+        mask = slots >= 0
+        out[mask] = np.searchsorted(used, slots[mask]).astype(np.int32)
+        return rows, out, gc
+
     def _virtual_bitmap_plan(self, slots: np.ndarray):
         """Per-batch virtual-bitmap plan: (rows (gp_c,), remapped slots,
         gp_c, build posting cap) or None when the union is too large for
@@ -836,6 +853,14 @@ class SearchEngine:
     # scan B=8 is 368 ms (per-step gather+unpack lowers badly), so only
     # singletons route here.
     TINY_SCAN_BATCH = 1
+    # batches at or under GATHER_BATCH items route the gathered-row
+    # front end (candidates_bitmap_gather): gather the batch's gram-union
+    # rows (<= GATHER_ROWS_MAX, pipelined HBM->HBM DMAs) and take 8
+    # per-plane dots - work proportional to the union instead of the
+    # fixed full-table stream.  The interactive single-query path at
+    # huge indexes.
+    GATHER_BATCH = 8
+    GATHER_ROWS_MAX = 512
     # Hardware-validated switches (round 3, v5e).  The class defaults ARE
     # the proven configuration - a gitignored state file must never again
     # be the only thing standing between the driver's bench and a slow
@@ -1077,8 +1102,8 @@ class SearchEngine:
         otherwise.  Returns (guard-failed rows, n_cand used, selectable
         lanes)."""
         from .candidates import (
-            _BLK, candidates_bitmap, candidates_bitmap_mxu,
-            candidates_matmul, candidates_runs,
+            _BLK, candidates_bitmap, candidates_bitmap_gather,
+            candidates_bitmap_mxu, candidates_matmul, candidates_runs,
         )
         from .sketch import candidates_sketch
 
@@ -1196,12 +1221,30 @@ class SearchEngine:
                 and fits_vmem(16, gp_rows)
                 and (gp_rows <= SBLK_MAX or self.BITMAP_GTILE_OK)
             )
+            # SMALL batches skip the full-table stream entirely: the
+            # kernel pays ~62 ms of fixed unpack+dot at 10M keys per
+            # dispatch, but a few queries' gram union is tens of rows -
+            # gather just those rows (pipelined HBM->HBM DMAs) and take
+            # 8 per-plane dots against the compact count operand
+            # (candidates_bitmap_gather); work follows the union size.
+            bm_gather = False
+            gplan = None
+            if (
+                bm_kernel
+                and not bm_virtual
+                and len(items) <= self.GATHER_BATCH
+            ):
+                gplan = self._gather_rows_plan(slots)
+                bm_gather = gplan is not None
             # singleton batches: the XLA per-slot scan costs ~28 ms at
             # 10M (proportional to B) vs the kernel's fixed ~65 ms of
-            # full-table unpack+dot - exactly what one interactive query
-            # wants (tools/probe_b512_tiny.py; at B >= 8 the scan loses
-            # badly, 368 ms, so only singletons route here)
-            if bm_kernel and len(items) <= self.TINY_SCAN_BATCH:
+            # full-table unpack+dot (tools/probe_b512_tiny.py; at B >= 8
+            # the scan loses badly, 368 ms).  Only reached when the
+            # gathered route declined (huge gram union).
+            if (
+                bm_kernel and not bm_gather
+                and len(items) <= self.TINY_SCAN_BATCH
+            ):
                 bm_kernel = False
             bm_fused = bm_kernel and (
                 self.BITMAP_FUSED_BMAX or tlp >= self.BITMAP_FUSED_MIN_TLP
@@ -1219,7 +1262,9 @@ class SearchEngine:
             bm_rows = None
             bm_slots = slots
             gp_eff = gp_rows
-            if bm_kernel and self.BITMAP_COMPACT_ROWS:
+            if bm_gather:
+                g_rows, bm_slots, g_gc = gplan
+            elif bm_kernel and self.BITMAP_COMPACT_ROWS:
                 comp = self._compact_gram_rows(slots, gp_rows)
                 if comp is not None:
                     bm_rows, bm_slots, gp_eff = comp
@@ -1270,7 +1315,7 @@ class SearchEngine:
         step = 8
         while step * 2 <= min(cap, batch_bucket):
             step *= 2
-        if bm is not None and bm_kernel:
+        if bm is not None and bm_kernel and not bm_gather:
             from ..ops.bitmap_matmul import fits_vmem
 
             # halve in pow2 space: halving the raw cap then re-bucketing
@@ -1287,7 +1332,10 @@ class SearchEngine:
         elif tiny_runs:
             variant = "tiny_runs"
         elif bm is not None:
-            variant = "bitmap_kernel" if bm_kernel else "bitmap_scan"
+            if bm_gather:
+                variant = "bitmap_gather"
+            else:
+                variant = "bitmap_kernel" if bm_kernel else "bitmap_scan"
         elif sk is not None:
             variant = "sketch_packed" if sk_packed else "sketch"
         else:
@@ -1312,17 +1360,21 @@ class SearchEngine:
             )
             self.last_routing.update(
                 gp_rows=int(bm[0].shape[0]),
-                gtile=gp_eff > _SB,
-                fused_bmax=bool(bm_kernel and bm_fused),
+                gtile=not bm_gather and gp_eff > _SB,
+                fused_bmax=bool(
+                    bm_kernel and not bm_gather and bm_fused
+                ),
                 bmax_blk=int(self.BITMAP_BMAX_BLK),
                 compact_rows=(gp_eff if bm_rows is not None else 0),
                 virtual=bm_virtual,
                 hstar=bool(bm_hstar),
                 pair_dots=bool(
-                    bm_kernel and self.BITMAP_PAIR_DOTS
+                    bm_kernel and not bm_gather and self.BITMAP_PAIR_DOTS
                     and bm_slots.shape[1] <= 31
                 ),
             )
+            if bm_gather:
+                self.last_routing["gather_rows"] = int(g_gc)
             if bm_hstar:
                 self.last_routing.update(kb1=hs_kb1, kb2=hs_kb2)
 
@@ -1362,9 +1414,13 @@ class SearchEngine:
         promo_t_d = jnp.asarray(promo_t)
         promo_w_d = jnp.asarray(promo_w)
         pending = []
+        rows_d = None
+        if bm is not None and bm_gather:
+            rows_d = jnp.asarray(g_rows)
         for lo in range(0, len(items), step):
             hi = min(lo + step, len(items))
-            b = _next_pow2(hi - lo, 1 if tiny_runs else min(step, 16))
+            min_b = 8 if (bm is not None and bm_gather) else 16
+            b = _next_pow2(hi - lo, 1 if tiny_runs else min(step, min_b))
             sl = slice(lo, lo + b)
             lim_arr = np.full((b,), min(limit, 2**30), dtype=np.int32)
             if gm is not None:
@@ -1394,6 +1450,35 @@ class SearchEngine:
                     top_k=top_k,
                     block_sel=block_sel,
                     approx=approx_sel,
+                    **gkw,
+                )
+            elif bm is not None and bm_gather:
+                gkw = {}
+                if bm_hstar:
+                    gkw = dict(
+                        hstar=True, kb1=hs_kb1, kb2=hs_kb2, hs_fill=hs_fill
+                    )
+                res = candidates_bitmap_gather(
+                    di,
+                    bm_table,
+                    rows_d,
+                    pt,
+                    xt,
+                    qtok_d[sl],
+                    qlens_d[sl],
+                    bm_slots_d[sl],
+                    nqg_d[sl],
+                    ushort_d[sl],
+                    promo_d[sl],
+                    promo_t_d[sl],
+                    promo_w_d[sl],
+                    lim_arr,
+                    np.float32(threshold),
+                    compute_short=compute_short,
+                    n_cand=n_cand,
+                    n_edge=n_edge,
+                    top_k=top_k,
+                    block_sel=block_sel,
                     **gkw,
                 )
             elif bm is not None:

@@ -450,6 +450,126 @@ def test_hstar_front_end_parity(host_engine):
         assert gs == ws, (queries[r], gs, ws)
 
 
+def test_gather_rows_dma_interpret(host_engine):
+    """Pipelined-DMA row gather (interpret mode) == jnp.take."""
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.ops.bitmap_matmul import gather_rows_dma
+
+    host, _ = host_engine
+    bm, _ = host.bitmap_tables()
+    gp = int(bm.shape[0])
+    rng = np.random.default_rng(3)
+    rows = jnp.asarray(
+        np.sort(rng.choice(gp, 48, replace=False)).astype(np.int32)
+    )
+    got = np.asarray(gather_rows_dma(bm, rows, interpret=True))
+    want = np.asarray(jnp.take(bm, rows, axis=0))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bitmap_gather_front_end_parity(host_engine):
+    """Gathered-row front end == scan front end on identical
+    engine-shaped inputs (hits from the batch's own gram rows)."""
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.search.candidates import (
+        candidates_bitmap, candidates_bitmap_gather,
+    )
+
+    host, engine = host_engine
+    di = host.device
+    bm, _ = host.bitmap_tables()
+    pt, xt = host.prim_tables()
+    words = host.key_strings.tolist()
+    rng = random.Random(23)
+    queries = []
+    for i in range(8):
+        w = words[rng.randrange(len(words))]
+        queries.append(w if i % 2 else w[:-1] + "x")
+    items = []
+    for pos, q in enumerate(queries):
+        qnorm, qlen = engine._normalize_query(q)
+        promo = host.promo_key_ids(qnorm, qlen)
+        items.append((pos, qnorm, qlen, promo))
+    b, qtok, qlens, slots_a, nqg_a, use_short, _ = engine._prep_rows(
+        items, 32, min_b=8
+    )
+    promo_a = np.full((b, engine.PROMO_KEYS), -1, np.int32)
+    for r, it in enumerate(items):
+        promo_a[r, : it[3].size] = it[3]
+    promo_t, promo_w = engine._promo_tables(promo_a)
+    lim = np.full((b,), 10, np.int32)
+    plan = engine._gather_rows_plan(slots_a)
+    assert plan is not None
+    rows, slots_g, gc = plan
+    base = dict(compute_short=True, n_cand=2048, n_edge=32, top_k=16)
+    want = [np.asarray(x) for x in candidates_bitmap(
+        di, bm, pt, xt, jnp.asarray(qtok), jnp.asarray(qlens),
+        jnp.asarray(slots_a), jnp.asarray(nqg_a), jnp.asarray(use_short),
+        jnp.asarray(promo_a), jnp.asarray(promo_t), jnp.asarray(promo_w),
+        jnp.asarray(lim), np.float32(0.25), **base,
+    )]
+    for hstar in (False, True):
+        kw = dict(base)
+        if hstar:
+            kw.update(hstar=True, kb1=64, kb2=64)
+        got = [np.asarray(x) for x in candidates_bitmap_gather(
+            di, bm, jnp.asarray(rows), pt, xt, jnp.asarray(qtok),
+            jnp.asarray(qlens), jnp.asarray(slots_g), jnp.asarray(nqg_a),
+            jnp.asarray(use_short), jnp.asarray(promo_a),
+            jnp.asarray(promo_t), jnp.asarray(promo_w), jnp.asarray(lim),
+            np.float32(0.25), interpret=True, **kw,
+        )]
+        assert got[4].all(), f"hstar={hstar}: every row must be exact"
+        np.testing.assert_array_equal(got[0], want[0])
+        for r in range(b):
+            n = min(int(got[0][r]), got[1].shape[1])
+            gs = sorted(zip(np.round(got[2][r][:n], 5), got[3][r][:n]))
+            ws = sorted(zip(np.round(want[2][r][:n], 5), want[3][r][:n]))
+            assert gs == ws, (hstar, queries[r] if r < 8 else r, gs, ws)
+
+
+def test_engine_gather_routing(monkeypatch):
+    """Small batches route the gathered-row front end (variant
+    bitmap_gather) and match the dense path exactly."""
+    import functools
+
+    import jax
+
+    from stringsearchlib_tpu.search import candidates as cmod
+    from stringsearchlib_tpu.search import engine as emod
+
+    host = build_index(_corpus(3000, seed=61), 1, None, IndexConfig())
+    eng = SearchEngine(host)
+    eng.GM_BUDGET = 0
+    monkeypatch.setattr(cmod, "GATHER_IMPL", "take")
+    monkeypatch.setattr(
+        cmod, "candidates_bitmap_gather",
+        functools.partial(cmod.candidates_bitmap_gather, interpret=True),
+    )
+    monkeypatch.setattr(emod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(eng, "CAND_MIN_TERMS", 100)
+    words = host.key_strings.tolist()
+    rng = random.Random(3)
+    for nq in (1, 2, 8):
+        queries = []
+        for i in range(nq):
+            w = words[rng.randrange(len(words))]
+            queries.append(w if i % 2 else w[:-1] + "x")
+        got = eng.search_batch(queries, 0.25, 10, mode="candidates")
+        assert eng.last_routing["variant"] == "bitmap_gather", (
+            nq, eng.last_routing)
+        assert eng.last_routing["gather_rows"] >= 32
+        monkeypatch.setattr(emod.jax, "default_backend", jax.default_backend)
+        want = eng.search_batch(queries, 0.25, 10, mode="dense")
+        monkeypatch.setattr(emod.jax, "default_backend", lambda: "tpu")
+        for q, g, w in zip(queries, got, want):
+            gs = sorted((round(s, 5), len(k)) for k, s in zip(*g))
+            ws = sorted((round(s, 5), len(k)) for k, s in zip(*w))
+            assert gs == ws, (nq, q, g, w)
+
+
 def test_hstar_retry_from_retained_hits(host_engine):
     """hstar_retry on rows taken from a keep_hits first pass == a full
     front-end pass at the same generous budgets (the retained hit counts
@@ -636,12 +756,23 @@ def test_hstar_gated_off_for_weighted_index(monkeypatch):
         cmod, "candidates_bitmap_mxu",
         functools.partial(cmod.candidates_bitmap_mxu, interpret=True),
     )
+    monkeypatch.setattr(cmod, "GATHER_IMPL", "take")
+    monkeypatch.setattr(
+        cmod, "candidates_bitmap_gather",
+        functools.partial(cmod.candidates_bitmap_gather, interpret=True),
+    )
     monkeypatch.setattr(emod.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(eng, "CAND_MIN_TERMS", 100)
-    # two queries: singletons route the XLA scan (TINY_SCAN_BATCH)
+    # two queries route the gathered front end; h* must stay off there too
     eng.search_batch(
         [words[0][:-1] + "x", words[1][:-1] + "x"], 0.25, 10,
         mode="candidates",
+    )
+    assert eng.last_routing["variant"] == "bitmap_gather"
+    assert eng.last_routing["hstar"] is False
+    # and a full-size batch keeps h* off on the kernel route as well
+    eng.search_batch(
+        [w[:-1] + "x" for w in words[:12]], 0.25, 10, mode="candidates",
     )
     assert eng.last_routing["variant"] == "bitmap_kernel"
     assert eng.last_routing["hstar"] is False

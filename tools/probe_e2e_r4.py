@@ -53,6 +53,10 @@ def main():
     else:
         host = build_index(words, 1, None, IndexConfig())
         jax.device_get(host.device.gram_ptr[:1])
+        from stringsearchlib_tpu.index.serialize import save_index
+
+        save_index(host, cache)
+        log("saved index cache")
 
     engine = SearchEngine(host)
     engine.GM_BUDGET = 0
