@@ -333,11 +333,11 @@ class HostIndex:
         if self._bitmap_cache is not None:
             bm = self._bitmap_cache
             return None if bm is False else bm
-        from ..ops.bitmap_matmul import TILE_LANES, g_padding
+        from ..ops.bitmap_matmul import PAD_LANES, g_padding
 
         g = self.n_grams
         tl = int(self.device.long_lengths.shape[0])
-        tl_pad = -(-max(tl, 1) // TILE_LANES) * TILE_LANES
+        tl_pad = -(-max(tl, 1) // PAD_LANES) * PAD_LANES
         g_pad = g_padding(g)
         if g == 0 or tl == 0 or g_pad * (tl_pad // 8) > budget_bytes:
             self._bitmap_cache = False
@@ -350,10 +350,10 @@ class HostIndex:
         """(nb, tl_pad) of the packed-plane layout WITHOUT building the
         table - the virtual per-batch compact build needs the shape even
         when the full table exceeds every budget."""
-        from ..ops.bitmap_matmul import TILE_LANES
+        from ..ops.bitmap_matmul import PAD_LANES
 
         tl = int(self.device.long_lengths.shape[0])
-        tl_pad = -(-max(tl, 1) // TILE_LANES) * TILE_LANES
+        tl_pad = -(-max(tl, 1) // PAD_LANES) * PAD_LANES
         return tl_pad // 8, tl_pad
 
     def bitmap_rows_table(self, rows: np.ndarray, s_cap: int):

@@ -44,6 +44,14 @@ INTERPRET = False  # tests flip this on CPU
 BLKB = 512
 TILE_LANES = 8 * BLKB
 
+# term-axis padding for the RESIDENT bitmap tables (HostIndex): eight
+# layout tiles, so NB = tl_pad/8 is a 1024-multiple and a packed row
+# splits into eight (8, NB/8) sublane-aligned sub-rows - Mosaic rejects
+# HBM memref slices that are not 8-sublane aligned, which is what the
+# row-DMA gather (gather_rows_dma) slices.  Costs <= 28k padded lanes
+# of zero bits per row (~11 MB on the 10M-key table).
+PAD_LANES = 8 * TILE_LANES
+
 # VMEM ceiling the caller budgets against (bytes); v5e has ~16 MB/core.
 # 12 MB, not 14: a 13.9 MB working set compiled but ran 3x SLOWER per
 # byte (B=512 at gp=2816: 197 ms vs B=256's 65.6 for half the work -
@@ -405,11 +413,18 @@ def gather_rows_dma(table, rows, *, interpret: bool | None = None,
         interpret = INTERPRET
     g, nb = table.shape
     (gc,) = rows.shape
+    # Mosaic HBM memref slices must be 8-sublane aligned: view each
+    # 1 x nb row as an (8, nb/8) sub-block (PAD_LANES term padding makes
+    # nb/8 a 128-lane multiple)
+    assert nb % 1024 == 0, nb  # table built with PAD_LANES term padding
+    t8 = table.reshape(g * 8, nb // 8)
 
     def kernel(rows_ref, t_ref, o_ref, sem):
         def issue(k):
             return pltpu.make_async_copy(
-                t_ref.at[rows_ref[k]], o_ref.at[k], sem.at[k % nsem]
+                t_ref.at[pl.ds(rows_ref[k] * 8, 8)],
+                o_ref.at[pl.ds(k * 8, 8)],
+                sem.at[k % nsem],
             )
 
         def body(k, _):
@@ -438,10 +453,10 @@ def gather_rows_dma(table, rows, *, interpret: bool | None = None,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA((nsem,))],
         ),
-        out_shape=jax.ShapeDtypeStruct((gc, nb), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((gc * 8, nb // 8), table.dtype),
         interpret=interpret,
-    )(rows.astype(jnp.int32), table)
-    return out
+    )(rows.astype(jnp.int32), t8)
+    return out.reshape(gc, nb)
 
 
 def bitmap_hits_ref(qcnt, planes):

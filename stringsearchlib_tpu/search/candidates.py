@@ -1202,8 +1202,12 @@ hstar_retry = functools.partial(
 
 # row-gather primitive for the gathered front end, switched by hardware
 # measurement (tools/probe_gather_r4.py): "dma" = one-step pipelined
-# HBM->HBM copies, "take" = XLA gather (correct everywhere, ~11 GB/s)
-GATHER_IMPL = "dma"
+# HBM->HBM copies, "take" = XLA gather (correct everywhere, ~11 GB/s).
+# "take" until the DMA variant passes Mosaic on hardware: single-row HBM
+# slices must be 8-sublane aligned ("Slice shape along dimension 0 must
+# be aligned to tiling (8), but is 1"), which needs the term padding at
+# 8 * TILE_LANES so each row splits into eight aligned sub-rows.
+GATHER_IMPL = "take"
 
 
 def candidates_bitmap_gather_impl(

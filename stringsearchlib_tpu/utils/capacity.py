@@ -78,10 +78,10 @@ def estimate_shard_hbm(
       bitmap        packed (G_pad, Tl_c_pad/8) incidence planes
       workspace     per-batch hits + selection + edge-expansion buffers
     """
-    from ..ops.bitmap_matmul import TILE_LANES, g_padding
+    from ..ops.bitmap_matmul import PAD_LANES, g_padding
 
     tl_c = -(-n_keys // shards)
-    tl_c_pad = -(-max(tl_c, 1) // TILE_LANES) * TILE_LANES
+    tl_c_pad = -(-max(tl_c, 1) // PAD_LANES) * PAD_LANES
     g_pad = g_padding(n_grams)
     width = -(-max(avg_len, gram_size) // 8) * 8
     windows = max(avg_len - gram_size + 1, 1)

@@ -114,16 +114,23 @@ def main():
                 f"pallas   gc={gc}",
                 lambda r, rs=rows_sets: gather_rows_pallas(table, rs[r]),
             )
-    # correctness of the DMA gather on hardware
-    rows = jnp.asarray(
-        np.sort(
-            np.random.RandomState(1).choice(gp, 64, replace=False)
-        ).astype(np.int32)
-    )
-    a = np.asarray(jax.device_get(gather_rows_dma(table, rows)))
-    b = np.asarray(jax.device_get(jnp.take(table, rows, axis=0)))
-    assert (a == b).all(), "DMA gather mismatch vs take"
-    log("DMA gather parity vs take: OK (64 rows)")
+    # correctness of the DMA gather on hardware (guarded: a Mosaic
+    # failure here must not kill the engine measurements below)
+    try:
+        rows = jnp.asarray(
+            np.sort(
+                np.random.RandomState(1).choice(gp, 64, replace=False)
+            ).astype(np.int32)
+        )
+        a = np.asarray(jax.device_get(gather_rows_dma(table, rows)))
+        b = np.asarray(jax.device_get(jnp.take(table, rows, axis=0)))
+        assert (a == b).all(), "DMA gather mismatch vs take"
+        log("DMA gather parity vs take: OK (64 rows)")
+    except Exception:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc()
+        log("DMA gather parity: FAILED (continuing with take)")
 
     # --- 2/3. engine small-batch routes ---------------------------------
     queries = [_mutate(rng, rng.choice(words)) for _ in range(64)]
