@@ -106,7 +106,7 @@ def fits_vmem(b: int, g_pad: int) -> bool:
     return vmem_bytes(b, g_pad) <= _VMEM_BUDGET
 
 
-def _make_kernel(int8_dots, gtiles: int):
+def _make_kernel(int8_dots, gtiles: int, tile_mult: int = 1):
     # int8_dots: False = bf16 dots, True = int8, "int4" = s4 x s4 -> s32
     # (v5e runs int4 MACs at 2x the int8 rate; exact while query gram
     # multiplicities stay <= 7, which the engine checks per batch),
@@ -140,12 +140,9 @@ def _make_kernel(int8_dots, gtiles: int):
                     out_ref[:, sl].astype(jnp.int32) + acc.astype(jnp.int32)
                 ).astype(jnp.int8)
 
-    def kernel(q_ref, bm_ref, out_ref):
-        q = q_ref[:]  # (B, Gblk)
-        if dot_t == jnp.int4:
-            q = q.astype(jnp.int4)
-        t = bm_ref[:]  # (Gblk, BLKB) int8 (packed bits)
-        gi = pl.program_id(1) if gtiles > 1 else 0
+    def _tile(q, t, out_ref, base, gi):
+        # one layout tile: t (Gblk, BLKB) packed bytes -> out lanes
+        # [base, base + TILE_LANES)
         if paired:
             # The plane-tiled layout makes a masked byte ITSELF a valid
             # two-plane operand: (t & 0b100001) == bit_0 + 32*bit_5 as an
@@ -159,7 +156,7 @@ def _make_kernel(int8_dots, gtiles: int):
             # SIGN bit, so acc = 4*h_2 - 128*h_7 and the fields decode
             # arithmetically (4*h_2 < 128 bounds the mixed term).
             def sl(p):
-                return slice(p * BLKB, (p + 1) * BLKB)
+                return slice(base + p * BLKB, base + (p + 1) * BLKB)
 
             for p in (0, 1):  # unsigned gap-5 pairs
                 op = t & np.int8((1 << p) | (1 << (p + 5)))
@@ -187,12 +184,29 @@ def _make_kernel(int8_dots, gtiles: int):
             else:
                 op = bit.astype(dot_t)
             acc = jnp.dot(q, op, preferred_element_type=acc_t)
-            _store(out_ref, acc, slice(p * BLKB, (p + 1) * BLKB), gi)
+            _store(
+                out_ref, acc,
+                slice(base + p * BLKB, base + (p + 1) * BLKB), gi,
+            )
+
+    def kernel(q_ref, bm_ref, out_ref):
+        q = q_ref[:]  # (B, Gblk)
+        if dot_t == jnp.int4:
+            q = q.astype(jnp.int4)
+        gi = pl.program_id(1) if gtiles > 1 else 0
+        # tile_mult > 1 processes several layout tiles per grid step:
+        # small gathered tables (tens of rows) make each step's work tiny
+        # and the ~4-5 us fixed grid-step cost dominant (2560 steps ~ 11 ms
+        # at 10M terms); fusing 8-32 tiles amortizes it (docs/PERF.md).
+        for ti in range(tile_mult):
+            t = bm_ref[:, ti * BLKB:(ti + 1) * BLKB]
+            _tile(q, t, out_ref, ti * TILE_LANES, gi)
 
     return kernel
 
 
-def _dispatch(qcnt, planes, *, interpret, int8_dots, with_bmax):
+def _dispatch(qcnt, planes, *, interpret, int8_dots, with_bmax,
+              tile_mult=1):
     """Shared pallas_call scaffolding for both kernel variants (grid,
     index maps, specs, cost model differ only in the optional bmax
     output)."""
@@ -202,34 +216,40 @@ def _dispatch(qcnt, planes, *, interpret, int8_dots, with_bmax):
     gp2, nb = planes.shape
     assert gp == gp2 and nb % BLKB == 0, (b, gp, gp2, nb)
     gblk = gp if gp <= SBLK_MAX else GBLK
-    assert gp % gblk == 0 and gp % 128 == 0, (gp, gblk)
+    # gathered small tables run at 32-row granularity (int8 sublane
+    # tile); resident tables keep g_padding's 128-multiples
+    assert gp % gblk == 0 and gp % 32 == 0, (gp, gblk)
     gtiles = gp // gblk
     ntiles = nb // BLKB
+    assert ntiles % tile_mult == 0, (ntiles, tile_mult)
+    nsteps = ntiles // tile_mult
     if int8_dots:
         qcnt = qcnt.astype(jnp.int8)
-    grid = (ntiles,) if gtiles == 1 else (ntiles, gtiles)
+    grid = (nsteps,) if gtiles == 1 else (nsteps, gtiles)
     ix = (lambda j: (0, 0)) if gtiles == 1 else (lambda j, gi: (0, gi))
     bx = (lambda j: (0, j)) if gtiles == 1 else (lambda j, gi: (gi, j))
     ox = (lambda j: (0, j)) if gtiles == 1 else (lambda j, gi: (0, j))
-    out_specs = pl.BlockSpec((b, TILE_LANES), ox)
+    out_specs = pl.BlockSpec((b, tile_mult * TILE_LANES), ox)
     out_shape = jax.ShapeDtypeStruct((b, ntiles * TILE_LANES), jnp.int8)
     extra_bytes = 0
     if with_bmax:
-        kernel = _make_kernel_bmax(int8_dots, gtiles, b)
-        out_specs = [out_specs, pl.BlockSpec((b, _BMAX_BLK), ox)]
+        kernel = _make_kernel_bmax(int8_dots, gtiles, b, tile_mult)
+        out_specs = [
+            out_specs, pl.BlockSpec((b, tile_mult * _BMAX_BLK), ox),
+        ]
         out_shape = [
             out_shape,
             jax.ShapeDtypeStruct((b, ntiles * _BMAX_BLK), jnp.int8),
         ]
         extra_bytes = b * ntiles * _BMAX_BLK
     else:
-        kernel = _make_kernel(int8_dots, gtiles)
+        kernel = _make_kernel(int8_dots, gtiles, tile_mult)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, gblk), ix),
-            pl.BlockSpec((gblk, BLKB), bx),
+            pl.BlockSpec((gblk, tile_mult * BLKB), bx),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -257,9 +277,11 @@ def _dispatch(qcnt, planes, *, interpret, int8_dots, with_bmax):
     )(qcnt, planes)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "int8_dots"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "int8_dots", "tile_mult")
+)
 def bitmap_hits(qcnt, planes, *, interpret: bool | None = None,
-                int8_dots: bool = False):
+                int8_dots: bool = False, tile_mult: int = 1):
     """qcnt (B, Gp) bf16 gram multiplicities  x  planes (Gp, NB) int8
     packed incidence  ->  hits (B, NB * 8) int8, term-ordered columns.
 
@@ -270,7 +292,7 @@ def bitmap_hits(qcnt, planes, *, interpret: bool | None = None,
     """
     return _dispatch(
         qcnt, planes, interpret=interpret, int8_dots=int8_dots,
-        with_bmax=False,
+        with_bmax=False, tile_mult=tile_mult,
     )
 
 
@@ -278,7 +300,8 @@ _BMAX_BLK = 128  # selection block width (search.candidates._BLK)
 _SUBS = TILE_LANES // _BMAX_BLK  # 128-lane blocks per layout tile (32)
 
 
-def _make_kernel_bmax(int8_dots: bool, gtiles: int, b: int):
+def _make_kernel_bmax(int8_dots: bool, gtiles: int, b: int,
+                      tile_mult: int = 1):
     """Kernel variant with a fused per-128-lane blockmax epilogue.
 
     The engine's huge-tier finish (search.candidates._blockmax_finish)
@@ -296,7 +319,7 @@ def _make_kernel_bmax(int8_dots: bool, gtiles: int, b: int):
     the tile's 32 block maxima into lanes [0, 32) of a full (B, 128)
     vector (lanes [32, 128) are -1).  The caller slices them back out.
     """
-    base = _make_kernel(int8_dots, gtiles)
+    base = _make_kernel(int8_dots, gtiles, tile_mult)
 
     def kernel(q_ref, bm_ref, out_ref, bmax_ref):
         base(q_ref, bm_ref, out_ref)
@@ -304,36 +327,45 @@ def _make_kernel_bmax(int8_dots: bool, gtiles: int, b: int):
 
         @pl.when(gi == gtiles - 1)
         def _epilogue():
-            a = out_ref[:].astype(jnp.bfloat16)  # (b, TILE_LANES)
-            a2 = a.reshape(b * _SUBS, _BMAX_BLK)
-            a2 = jnp.broadcast_to(
-                jnp.max(a2, axis=1, keepdims=True), (b * _SUBS, _BMAX_BLK)
-            )
-            # keep lane l of sublane-group s only where l == s, else -1.
-            # Arithmetic indicator instead of an i1 select: comparing two
-            # iotas produced a vector<i1> relayout Mosaic rejects
-            # ("non-singleton dimension replicated in destination").
-            # _SUBS is a power of two, so row % _SUBS == row & (_SUBS-1).
-            lane = jax.lax.broadcasted_iota(
-                jnp.int32, (b * _SUBS, _BMAX_BLK), 1
-            )
-            sub = jax.lax.broadcasted_iota(
-                jnp.int32, (b * _SUBS, _BMAX_BLK), 0
-            ) & (_SUBS - 1)
-            diff = lane - sub
-            ind = jnp.clip(
-                1 - jnp.maximum(diff, -diff), 0, 1
-            ).astype(jnp.bfloat16)  # 1 iff lane == sub
-            m = a2 * ind + (ind - jnp.bfloat16(1.0))  # a2 >= 0
-            red = jnp.max(m.reshape(b, _SUBS, _BMAX_BLK), axis=1)
-            bmax_ref[:] = red.astype(jnp.int8)
+            for ti in range(tile_mult):
+                a = out_ref[
+                    :, ti * TILE_LANES:(ti + 1) * TILE_LANES
+                ].astype(jnp.bfloat16)  # (b, TILE_LANES)
+                a2 = a.reshape(b * _SUBS, _BMAX_BLK)
+                a2 = jnp.broadcast_to(
+                    jnp.max(a2, axis=1, keepdims=True),
+                    (b * _SUBS, _BMAX_BLK),
+                )
+                # keep lane l of sublane-group s only where l == s, else
+                # -1.  Arithmetic indicator instead of an i1 select:
+                # comparing two iotas produced a vector<i1> relayout
+                # Mosaic rejects ("non-singleton dimension replicated in
+                # destination").  _SUBS is a power of two, so
+                # row % _SUBS == row & (_SUBS-1).
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (b * _SUBS, _BMAX_BLK), 1
+                )
+                sub = jax.lax.broadcasted_iota(
+                    jnp.int32, (b * _SUBS, _BMAX_BLK), 0
+                ) & (_SUBS - 1)
+                diff = lane - sub
+                ind = jnp.clip(
+                    1 - jnp.maximum(diff, -diff), 0, 1
+                ).astype(jnp.bfloat16)  # 1 iff lane == sub
+                m = a2 * ind + (ind - jnp.bfloat16(1.0))  # a2 >= 0
+                red = jnp.max(m.reshape(b, _SUBS, _BMAX_BLK), axis=1)
+                bmax_ref[
+                    :, ti * _BMAX_BLK:(ti + 1) * _BMAX_BLK
+                ] = red.astype(jnp.int8)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "int8_dots"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "int8_dots", "tile_mult")
+)
 def bitmap_hits_bmax(qcnt, planes, *, interpret: bool | None = None,
-                     int8_dots: bool = False):
+                     int8_dots: bool = False, tile_mult: int = 1):
     """bitmap_hits + fused per-128-lane blockmax.
 
     Returns (hits (B, NB*8) int8, bmax (B, NB*8/128) int8): bmax[:, c] =
@@ -343,7 +375,7 @@ def bitmap_hits_bmax(qcnt, planes, *, interpret: bool | None = None,
     semantics for empty blocks."""
     hits, bmax = _dispatch(
         qcnt, planes, interpret=interpret, int8_dots=int8_dots,
-        with_bmax=True,
+        with_bmax=True, tile_mult=tile_mult,
     )
     # lanes [SUBS, 128) of each tile's bmax block are -1 filler; the real
     # maxima sit in lanes [0, SUBS) in tile order
@@ -457,6 +489,29 @@ def gather_rows_dma(table, rows, *, interpret: bool | None = None,
         interpret=interpret,
     )(rows.astype(jnp.int32), t8)
     return out.reshape(gc, nb)
+
+
+def pick_tile_mult(b: int, gp: int, ntiles: int, max_mult: int = 32) -> int:
+    """Largest layout-tile fusion factor that divides the tile count and
+    keeps the per-step working set inside the VMEM budget.  Small
+    GATHERED tables (tens of rows) make each grid step's work tiny, so
+    the fixed ~4-5 us step cost dominates (2,560 steps ~ 11 ms at 10M
+    terms); fusing 8-32 tiles per step amortizes it."""
+    m = max_mult
+    while m > 1:
+        if ntiles % m == 0:
+            work = (
+                2 * b * gp  # q block
+                + 2 * gp * m * BLKB  # byte tile, double-buffered
+                + gp * m * BLKB  # masked operand
+                + 4 * b * m * BLKB  # acc
+                + 2 * b * m * TILE_LANES  # int8 out block
+                + 2 * b * m * _BMAX_BLK  # bmax block
+            )
+            if work <= _VMEM_BUDGET:
+                return m
+        m //= 2
+    return 1
 
 
 def bitmap_hits_ref(qcnt, planes):

@@ -1255,7 +1255,9 @@ def candidates_bitmap_gather_impl(
     Qmax <= 127 here so the assembled hits fit the int8 selection ops).
     Reference semantics: the same posting loop as the full kernel
     (nGramSearch.hpp:289-298)."""
-    from ..ops.bitmap_matmul import BLKB, gather_rows_dma
+    from ..ops.bitmap_matmul import (
+        BLKB, bitmap_hits_bmax, gather_rows_dma, pick_tile_mult,
+    )
 
     ts = di.n_short
     compute_short = compute_short and ts > 0
@@ -1263,27 +1265,47 @@ def candidates_bitmap_gather_impl(
     b = qslots.shape[0]
     nb = bitmap.shape[1]
     nt = nb // BLKB
-    qcnt = jax.vmap(
-        lambda row: jnp.zeros((gc,), jnp.int8)
-        .at[jnp.where(row >= 0, row, gc)]
-        .add(1, mode="drop")
-    )(qslots)
     if (GATHER_IMPL == "dma" and not interpret
             and jax.default_backend() != "cpu"):
         rm = gather_rows_dma(bitmap, rows)
     else:  # XLA gather: correct everywhere (CPU tests, fallback)
         rm = jnp.take(bitmap, rows, axis=0)
-    u = rm.astype(jnp.uint8)  # bit-preserving; logical shifts
-    accs = []
-    for p in range(8):
-        op = ((u >> p) & jnp.uint8(1)).astype(jnp.int8)
-        acc = jnp.dot(qcnt, op, preferred_element_type=jnp.int32)
-        accs.append(acc.reshape(b, nt, BLKB))
-    hits = jnp.stack(accs, axis=2).reshape(b, nt * 8 * BLKB)
-    hits = hits.astype(jnp.int8)  # engine gates Qmax <= 127 on this path
+    hmax = None
+    if (interpret or jax.default_backend() != "cpu") and gc % 32 == 0:
+        # Pallas unpack-matmul on the GATHERED rows with wide per-step
+        # tiles (pick_tile_mult) + the fused blockmax epilogue: the 8-dot
+        # XLA front pays ~8x operand unpack traffic and the default
+        # 1-tile kernel pays ~11 ms of grid-step overhead at 10M terms
+        # (docs/PERF.md round 4); this is both in one pass.
+        qcnt = jax.vmap(
+            lambda row: jnp.zeros((gc,), jnp.bfloat16)
+            .at[jnp.where(row >= 0, row, gc)]
+            .add(1, mode="drop")
+        )(qslots)
+        dots = "pair" if qslots.shape[1] <= 31 else True
+        hits, hmax = bitmap_hits_bmax(
+            qcnt, rm, interpret=interpret, int8_dots=dots,
+            tile_mult=pick_tile_mult(b, gc, nt),
+        )
+    else:
+        qcnt = jax.vmap(
+            lambda row: jnp.zeros((gc,), jnp.int8)
+            .at[jnp.where(row >= 0, row, gc)]
+            .add(1, mode="drop")
+        )(qslots)
+        u = rm.astype(jnp.uint8)  # bit-preserving; logical shifts
+        accs = []
+        for p in range(8):
+            op = ((u >> p) & jnp.uint8(1)).astype(jnp.int8)
+            acc = jnp.dot(qcnt, op, preferred_element_type=jnp.int32)
+            accs.append(acc.reshape(b, nt, BLKB))
+        hits = jnp.stack(accs, axis=2).reshape(b, nt * 8 * BLKB)
+        # engine gates Qmax <= 127 on this path
+        hits = hits.astype(jnp.int8)
     if hstar:
         tlp = nt * 8 * BLKB
-        hmax = block_hmax(hits, tlp // _BLK, _BLK)
+        if hmax is None:
+            hmax = block_hmax(hits, tlp // _BLK, _BLK)
         return _hstar_finish(
             di, pt, xt, hits, hmax, qtokens, qlens, n_qgrams, use_short,
             promo_ids, promo_terms, promo_weights, limits, threshold,
@@ -1296,7 +1318,7 @@ def candidates_bitmap_gather_impl(
             di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short,
             promo_ids, promo_terms, promo_weights, limits, threshold,
             compute_short=compute_short, n_cand=n_cand, n_edge=n_edge,
-            top_k=top_k, with_bound=with_bound, hmax=None, blk=_BLK,
+            top_k=top_k, with_bound=with_bound, hmax=hmax, blk=_BLK,
         )
     return _dense_hits_finish(
         di, pt, xt, hits, qtokens, qlens, n_qgrams, use_short, promo_ids,
