@@ -316,6 +316,18 @@ def main() -> None:
         except (OSError, ValueError):
             pass
 
+    # The driver captures only the LAST ~2000 chars of stdout, so the big
+    # extras go to a side file (+ stdout, first) and the final line is ONE
+    # compact headline that survives the tail capture (VERDICT r4 #3:
+    # rounds 3 and 4 both lost their headline to extra-payload truncation).
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__), "BENCH_EXTRA.json"), "w"
+        ) as f:
+            json.dump(extra, f)
+    except OSError:
+        pass
+    print(json.dumps({"extra": extra}))
     print(
         json.dumps(
             {
@@ -325,7 +337,9 @@ def main() -> None:
                 "value": head["qps"],
                 "unit": "queries/s",
                 "vs_baseline": round(head["qps"] / TARGET_QPS, 4),
-                "extra": extra,
+                "build_s": head.get("build_s"),
+                "single_ms": head.get("single_query_p50_ms"),
+                "extra_file": "BENCH_EXTRA.json",
             }
         )
     )
