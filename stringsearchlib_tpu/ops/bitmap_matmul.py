@@ -481,8 +481,8 @@ def gather_rows_dma(table, rows, *, interpret: bool | None = None,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA((nsem,))],
         ),
         out_shape=jax.ShapeDtypeStruct((gc * 8, nb // 8), table.dtype),

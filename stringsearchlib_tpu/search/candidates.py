@@ -1238,6 +1238,8 @@ def candidates_bitmap_gather_impl(
     kb1: int = 512,
     kb2: int = 512,
     hs_fill: int = 2,
+    pair_dots: bool = True,
+    gather_impl: str | None = None,
 ):
     """Small-batch bitmap front end: hits from the batch's OWN gram rows.
 
@@ -1265,7 +1267,12 @@ def candidates_bitmap_gather_impl(
     b = qslots.shape[0]
     nb = bitmap.shape[1]
     nt = nb // BLKB
-    if (GATHER_IMPL == "dma" and not interpret
+    # gather_impl is a STATIC arg (not module state read at trace time):
+    # flipping GATHER_IMPL after the first call must invalidate the
+    # cached trace (advisor r4).  None = resolve from the module default.
+    if gather_impl is None:
+        gather_impl = GATHER_IMPL
+    if (gather_impl == "dma" and not interpret
             and jax.default_backend() != "cpu"):
         rm = gather_rows_dma(bitmap, rows)
     else:  # XLA gather: correct everywhere (CPU tests, fallback)
@@ -1282,7 +1289,11 @@ def candidates_bitmap_gather_impl(
             .at[jnp.where(row >= 0, row, gc)]
             .add(1, mode="drop")
         )(qslots)
-        dots = "pair" if qslots.shape[1] <= 31 else True
+        # pair_dots threads the engine's hardware off-switch decision
+        # (SearchEngine.BITMAP_PAIR_DOTS via .hw_switches.json) instead of
+        # deciding locally (advisor r4 medium): if paired dots are disabled
+        # as a fault workaround, this route must honor it too.
+        dots = "pair" if (pair_dots and qslots.shape[1] <= 31) else True
         hits, hmax = bitmap_hits_bmax(
             qcnt, rm, interpret=interpret, int8_dots=dots,
             tile_mult=pick_tile_mult(b, gc, nt),
@@ -1333,6 +1344,7 @@ candidates_bitmap_gather = functools.partial(
     static_argnames=(
         "compute_short", "n_cand", "n_edge", "top_k", "block_sel",
         "with_bound", "interpret", "hstar", "kb1", "kb2", "hs_fill",
+        "pair_dots", "gather_impl",
     ),
 )(candidates_bitmap_gather_impl)
 

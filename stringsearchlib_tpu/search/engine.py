@@ -983,10 +983,19 @@ class SearchEngine:
         )
         n_retry_fast = len(retry)
         n_sel = None
+        sel_at_full = False
         if retry and sel_ctx is not None:
             retry = self._hstar_sel_retry(sel_ctx, threshold, limit, out)
             n_sel = len(retry)  # survivors of the selection-only retry
-        if retry and n_used < min(self.CAND_TERMS, n_avail):
+            # the sel retry re-selected at the full-pass budgets (kb and
+            # n_cand scaled to CAND_TERMS) on bit-identical hits, so a
+            # full second front-end pass at the same budgets is
+            # guaranteed to fail the guard again - send survivors
+            # straight to the dense retry instead of re-paying the
+            # full-table stream (advisor r4)
+            sel_at_full = True
+        if retry and not sel_at_full and n_used < min(
+                self.CAND_TERMS, n_avail):
             retry, _, _, _ = self._cand_pass(
                 retry, threshold, limit, batch_bucket, qp, out,
                 self.CAND_TERMS,
@@ -1453,11 +1462,15 @@ class SearchEngine:
                     **gkw,
                 )
             elif bm is not None and bm_gather:
+                from .candidates import GATHER_IMPL
+
                 gkw = {}
                 if bm_hstar:
                     gkw = dict(
                         hstar=True, kb1=hs_kb1, kb2=hs_kb2, hs_fill=hs_fill
                     )
+                gkw["pair_dots"] = self.BITMAP_PAIR_DOTS
+                gkw["gather_impl"] = GATHER_IMPL
                 res = candidates_bitmap_gather(
                     di,
                     bm_table,
