@@ -343,6 +343,16 @@ class HostIndex:
             self._bitmap_cache = False
             return None
         bm = self._incidence_slabs(g_pad, tl_pad // 8, "bits")
+        # resident layout is TILE-MAJOR (ntiles, G_pad, BLKB): a kernel
+        # grid block is then one contiguous ~1.4 MB HBM chunk instead of
+        # G_pad disjoint 512-byte segments - the pair kernel measured
+        # 45-62 -> 27.7 ms per 256 queries at 10M terms from this alone
+        # (tools/probe_layout_r5.py).  One on-device transpose, one-time.
+        import jax
+
+        from ..ops.bitmap_matmul import to_tile_major
+
+        bm = jax.jit(to_tile_major)(bm)
         self._bitmap_cache = (bm, tl_pad)
         return self._bitmap_cache
 
@@ -484,6 +494,14 @@ class HostIndex:
             )
             if packed:
                 inc = jnp.asarray(sketchlib.pack_inc_np(np.asarray(inc)))
+        if packed:
+            # same tile-major residency as bitmap_tables (contiguous
+            # kernel block DMAs; see ops.bitmap_matmul._dispatch)
+            import jax
+
+            from ..ops.bitmap_matmul import to_tile_major
+
+            inc = jax.jit(to_tile_major)(inc)
         ts = int(d.short_lengths.shape[0])
         wmax_pad = jnp.pad(d.term_wmax[ts:], (0, tl_pad - tl))
         self._sketch_cache[mode] = (inc, tg, wmax_pad, d_log2)

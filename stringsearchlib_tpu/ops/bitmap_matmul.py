@@ -106,7 +106,8 @@ def fits_vmem(b: int, g_pad: int) -> bool:
     return vmem_bytes(b, g_pad) <= _VMEM_BUDGET
 
 
-def _make_kernel(int8_dots, gtiles: int, tile_mult: int = 1):
+def _make_kernel(int8_dots, gtiles: int, tile_mult: int = 1,
+                 tmaj: bool = False):
     # int8_dots: False = bf16 dots, True = int8, "int4" = s4 x s4 -> s32
     # (v5e runs int4 MACs at 2x the int8 rate; exact while query gram
     # multiplicities stay <= 7, which the engine checks per batch),
@@ -199,7 +200,10 @@ def _make_kernel(int8_dots, gtiles: int, tile_mult: int = 1):
         # and the ~4-5 us fixed grid-step cost dominant (2560 steps ~ 11 ms
         # at 10M terms); fusing 8-32 tiles amortizes it (docs/PERF.md).
         for ti in range(tile_mult):
-            t = bm_ref[:, ti * BLKB:(ti + 1) * BLKB]
+            if tmaj:
+                t = bm_ref[ti]
+            else:
+                t = bm_ref[:, ti * BLKB:(ti + 1) * BLKB]
             _tile(q, t, out_ref, ti * TILE_LANES, gi)
 
     return kernel
@@ -209,11 +213,28 @@ def _dispatch(qcnt, planes, *, interpret, int8_dots, with_bmax,
               tile_mult=1):
     """Shared pallas_call scaffolding for both kernel variants (grid,
     index maps, specs, cost model differ only in the optional bmax
-    output)."""
+    output).
+
+    ``planes`` may be row-major (Gp, NB) or TILE-MAJOR
+    (ntiles, Gp, BLKB).  Tile-major is the resident-table layout: a
+    row-major (Gp, BLKB) grid block is Gp disjoint 512-byte HBM
+    segments - far below the efficient DMA transfer size - while a
+    tile-major (1, Gp, BLKB) block is one contiguous 1.4 MB chunk.
+    Measured on v5e at the 10M headline shape (tools/probe_layout_r5):
+    pure stream 432 -> 644 GB/s, full pair kernel 45-62 -> 27.7 ms per
+    256 queries.  The OUTPUT layout stays (B, Tl): a tile-major out
+    measured no further gain (29.7 ms) and the selection finish indexes
+    term-ordered columns."""
     if interpret is None:
         interpret = INTERPRET
     b, gp = qcnt.shape
-    gp2, nb = planes.shape
+    tmaj = planes.ndim == 3
+    if tmaj:
+        nt3, gp2, blkb3 = planes.shape
+        nb = nt3 * BLKB
+        assert blkb3 == BLKB, planes.shape
+    else:
+        gp2, nb = planes.shape
     assert gp == gp2 and nb % BLKB == 0, (b, gp, gp2, nb)
     gblk = gp if gp <= SBLK_MAX else GBLK
     # gathered small tables run at 32-row granularity (int8 sublane
@@ -227,13 +248,26 @@ def _dispatch(qcnt, planes, *, interpret, int8_dots, with_bmax,
         qcnt = qcnt.astype(jnp.int8)
     grid = (nsteps,) if gtiles == 1 else (nsteps, gtiles)
     ix = (lambda j: (0, 0)) if gtiles == 1 else (lambda j, gi: (0, gi))
-    bx = (lambda j: (0, j)) if gtiles == 1 else (lambda j, gi: (gi, j))
+    if tmaj:
+        bspec = pl.BlockSpec(
+            (tile_mult, gblk, BLKB),
+            (lambda j: (j, 0, 0)) if gtiles == 1
+            else (lambda j, gi: (j, gi, 0)),
+        )
+    else:
+        bspec = pl.BlockSpec(
+            (gblk, tile_mult * BLKB),
+            (lambda j: (0, j)) if gtiles == 1
+            else (lambda j, gi: (gi, j)),
+        )
     ox = (lambda j: (0, j)) if gtiles == 1 else (lambda j, gi: (0, j))
     out_specs = pl.BlockSpec((b, tile_mult * TILE_LANES), ox)
     out_shape = jax.ShapeDtypeStruct((b, ntiles * TILE_LANES), jnp.int8)
     extra_bytes = 0
     if with_bmax:
-        kernel = _make_kernel_bmax(int8_dots, gtiles, b, tile_mult)
+        kernel = _make_kernel_bmax(
+            int8_dots, gtiles, b, tile_mult, tmaj=tmaj
+        )
         out_specs = [
             out_specs, pl.BlockSpec((b, tile_mult * _BMAX_BLK), ox),
         ]
@@ -243,13 +277,13 @@ def _dispatch(qcnt, planes, *, interpret, int8_dots, with_bmax,
         ]
         extra_bytes = b * ntiles * _BMAX_BLK
     else:
-        kernel = _make_kernel(int8_dots, gtiles, tile_mult)
+        kernel = _make_kernel(int8_dots, gtiles, tile_mult, tmaj=tmaj)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, gblk), ix),
-            pl.BlockSpec((gblk, tile_mult * BLKB), bx),
+            bspec,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -301,7 +335,7 @@ _SUBS = TILE_LANES // _BMAX_BLK  # 128-lane blocks per layout tile (32)
 
 
 def _make_kernel_bmax(int8_dots: bool, gtiles: int, b: int,
-                      tile_mult: int = 1):
+                      tile_mult: int = 1, tmaj: bool = False):
     """Kernel variant with a fused per-128-lane blockmax epilogue.
 
     The engine's huge-tier finish (search.candidates._blockmax_finish)
@@ -319,7 +353,7 @@ def _make_kernel_bmax(int8_dots: bool, gtiles: int, b: int,
     the tile's 32 block maxima into lanes [0, 32) of a full (B, 128)
     vector (lanes [32, 128) are -1).  The caller slices them back out.
     """
-    base = _make_kernel(int8_dots, gtiles, tile_mult)
+    base = _make_kernel(int8_dots, gtiles, tile_mult, tmaj=tmaj)
 
     def kernel(q_ref, bm_ref, out_ref, bmax_ref):
         base(q_ref, bm_ref, out_ref)
@@ -514,8 +548,25 @@ def pick_tile_mult(b: int, gp: int, ntiles: int, max_mult: int = 32) -> int:
     return 1
 
 
+def to_tile_major(planes):
+    """(Gp, NB) row-major packed planes -> (ntiles, Gp, BLKB) tile-major.
+
+    One on-device transpose (~2 HBM passes, one-time per index build);
+    see _dispatch for why the resident layout is tile-major."""
+    gp, nb = planes.shape
+    return planes.reshape(gp, nb // BLKB, BLKB).transpose(1, 0, 2)
+
+
+def from_tile_major(planes3):
+    """(ntiles, Gp, BLKB) tile-major -> row-major (Gp, NB)."""
+    nt, gp, blkb = planes3.shape
+    return planes3.transpose(1, 0, 2).reshape(gp, nt * blkb)
+
+
 def bitmap_hits_ref(qcnt, planes):
     """Pure-XLA reference for tests: unpack the whole table and matmul."""
+    if planes.ndim == 3:
+        planes = from_tile_major(planes)
     gp, nb = planes.shape
     ntiles = nb // BLKB
     t = planes.reshape(gp, ntiles, BLKB)

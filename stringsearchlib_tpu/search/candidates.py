@@ -989,6 +989,10 @@ def candidates_bitmap_impl(
     The engine routes here only off-TPU; on hardware candidates_bitmap_mxu
     streams the same table through the Pallas unpack-matmul kernel, which
     avoids materializing a (B, Tl) accumulator per slot."""
+    if bitmap.ndim == 3:  # resident tables are tile-major (see _dispatch)
+        from ..ops.bitmap_matmul import from_tile_major
+
+        bitmap = from_tile_major(bitmap)
     ts = di.n_short
     compute_short = compute_short and ts > 0
     g_total = bitmap.shape[0]
@@ -1074,7 +1078,7 @@ def candidates_bitmap_mxu_impl(
 
     ts = di.n_short
     compute_short = compute_short and ts > 0
-    gp = bitmap.shape[0]
+    gp = bitmap.shape[1] if bitmap.ndim == 3 else bitmap.shape[0]
     qcnt = jax.vmap(
         lambda row: jnp.zeros((gp,), jnp.bfloat16)
         .at[jnp.where(row >= 0, row, gp)]
@@ -1265,14 +1269,19 @@ def candidates_bitmap_gather_impl(
     compute_short = compute_short and ts > 0
     gc = rows.shape[0]
     b = qslots.shape[0]
-    nb = bitmap.shape[1]
+    tmaj = bitmap.ndim == 3
+    nb = bitmap.shape[0] * BLKB if tmaj else bitmap.shape[1]
     nt = nb // BLKB
     # gather_impl is a STATIC arg (not module state read at trace time):
     # flipping GATHER_IMPL after the first call must invalidate the
     # cached trace (advisor r4).  None = resolve from the module default.
     if gather_impl is None:
         gather_impl = GATHER_IMPL
-    if (gather_impl == "dma" and not interpret
+    if tmaj:
+        # tile-major resident table: the gram axis is axis 1, and the
+        # gathered compact table stays tile-major for the kernel branch
+        rm = jnp.take(bitmap, rows, axis=1)
+    elif (gather_impl == "dma" and not interpret
             and jax.default_backend() != "cpu"):
         rm = gather_rows_dma(bitmap, rows)
     else:  # XLA gather: correct everywhere (CPU tests, fallback)
@@ -1299,6 +1308,10 @@ def candidates_bitmap_gather_impl(
             tile_mult=pick_tile_mult(b, gc, nt),
         )
     else:
+        if tmaj:
+            from ..ops.bitmap_matmul import from_tile_major
+
+            rm = from_tile_major(rm)
         qcnt = jax.vmap(
             lambda row: jnp.zeros((gc,), jnp.int8)
             .at[jnp.where(row >= 0, row, gc)]

@@ -38,8 +38,16 @@ _NEG_INF = np.float32(-np.inf)
 @jax.jit
 def _gather_rows(planes, rows):
     """Compact-table gather for gram-union row compaction (one per
-    batch; all of the batch's chunks reuse the result)."""
-    return jnp.take(planes, rows, axis=0)
+    batch; all of the batch's chunks reuse the result).  Tile-major
+    (ntiles, G, BLKB) tables gather along the gram axis and stay
+    tile-major."""
+    return jnp.take(planes, rows, axis=1 if planes.ndim == 3 else 0)
+
+
+def _bm_gp_rows(table) -> int:
+    """Gram-row count of a packed table in either layout (row-major
+    (G, NB) or tile-major (ntiles, G, BLKB); see bitmap_matmul._dispatch)."""
+    return int(table.shape[1] if table.ndim == 3 else table.shape[0])
 
 
 def _next_pow2(n: int, lo: int) -> int:
@@ -1170,6 +1178,12 @@ class SearchEngine:
             if plan is not None:
                 v_rows, v_slots, v_gp, v_scap = plan
                 table = self.host.bitmap_rows_table(v_rows, v_scap)
+                # same tile-major residency as the cached table: the
+                # kernel's contiguous-block DMA gain (2x) dwarfs the one
+                # extra transpose pass over this transient table
+                from ..ops.bitmap_matmul import to_tile_major
+
+                table = jax.jit(to_tile_major)(table)
                 bm = (table, self.host.bitmap_layout()[1])
                 bm_virtual = True
                 slots = v_slots
@@ -1223,7 +1237,7 @@ class SearchEngine:
             # exists as an emergency off-switch via .hw_switches.json.
             from ..ops.bitmap_matmul import SBLK_MAX
 
-            gp_rows = int(bm[0].shape[0])
+            gp_rows = _bm_gp_rows(bm[0])
             bm_kernel = (
                 jax.default_backend() != "cpu"
                 and slots.shape[1] <= 127
@@ -1368,7 +1382,7 @@ class SearchEngine:
                 and n_lanes >= 4 * hs_kb2 * _BLK
             )
             self.last_routing.update(
-                gp_rows=int(bm[0].shape[0]),
+                gp_rows=_bm_gp_rows(bm[0]),
                 gtile=not bm_gather and gp_eff > _SB,
                 fused_bmax=bool(
                     bm_kernel and not bm_gather and bm_fused

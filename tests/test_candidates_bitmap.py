@@ -11,6 +11,21 @@ from stringsearchlib_tpu.index.build import build_index
 from stringsearchlib_tpu.search.engine import SearchEngine
 
 
+def _gp(bm):
+    """Gram-row count in either packed layout (resident tables are
+    tile-major (ntiles, G, BLKB); see ops.bitmap_matmul._dispatch)."""
+    return int(bm.shape[1] if bm.ndim == 3 else bm.shape[0])
+
+
+def _rm(bm):
+    """Row-major (G, NB) view of a packed table in either layout."""
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.ops.bitmap_matmul import from_tile_major
+
+    return jnp.asarray(from_tile_major(bm)) if bm.ndim == 3 else bm
+
+
 def _corpus(n, seed=21):
     rng = random.Random(seed)
     syll = ["ka", "lo", "me", "ri", "su", "ta", "ve", "nor", "bel"]
@@ -33,7 +48,7 @@ def test_bitmap_matches_dense_incidence(host_engine):
 
     host, _ = host_engine
     bm, tl_pad = host.bitmap_tables()
-    bm = np.asarray(bm).view(np.uint8)  # (G_pad, tl_pad/8) plane-tiled
+    bm = np.asarray(_rm(bm)).view(np.uint8)  # (G_pad, tl_pad/8) plane-tiled
     gm = np.asarray(host.gram_matrix(1 << 40))  # (G, Tl) int8 0/1
     g, tl = gm.shape
     byte, bit = plane_coords(np.arange(tl_pad))
@@ -54,7 +69,7 @@ def test_bitmap_kernel_matches_ref(host_engine):
 
     host, _ = host_engine
     bm, _ = host.bitmap_tables()
-    gp = bm.shape[0]
+    gp = _gp(bm)
     rng = np.random.default_rng(7)
     qcnt = rng.integers(0, 3, size=(16, gp)).astype(np.float32)
     qcnt[:, host.n_grams:] = 0
@@ -78,7 +93,7 @@ def test_bitmap_kernel_fused_blockmax(host_engine):
 
     host, _ = host_engine
     bm, _ = host.bitmap_tables()
-    gp = bm.shape[0]
+    gp = _gp(bm)
     rng = np.random.default_rng(11)
     qcnt = rng.integers(0, 3, size=(16, gp)).astype(np.float32)
     qcnt[:, host.n_grams:] = 0
@@ -114,7 +129,7 @@ def test_bitmap_kernel_gtiled_fused_blockmax():
     ]
     host = build_index(words, 1, None, IndexConfig())
     bm, _ = host.bitmap_tables()
-    gp = int(bm.shape[0])
+    gp = _gp(bm)
     assert gp > GBLK, gp  # the corpus must actually force G-tiling
     nrng = np.random.default_rng(5)
     qcnt = (nrng.random((16, gp)) < 0.002).astype(np.float32)
@@ -217,12 +232,13 @@ def test_incidence_slabs_multislab_parity(host_engine):
     must reproduce the single-slab tables bit for bit."""
     host, _ = host_engine
     bm, tl_pad = host.bitmap_tables()
-    nb = bm.shape[1]
-    one = np.asarray(host._incidence_slabs(bm.shape[0], nb, "bits"))
-    np.testing.assert_array_equal(one, np.asarray(bm))
+    bm2 = np.asarray(_rm(bm))
+    nb = bm2.shape[1]
+    one = np.asarray(host._incidence_slabs(bm2.shape[0], nb, "bits"))
+    np.testing.assert_array_equal(one, bm2)
     for cap in (nb, 3 * nb, 7 * nb + 13):
         many = np.asarray(
-            host._incidence_slabs(bm.shape[0], nb, "bits", max_flat=cap)
+            host._incidence_slabs(bm2.shape[0], nb, "bits", max_flat=cap)
         )
         np.testing.assert_array_equal(many, one)
     gm = np.asarray(host.gram_matrix(1 << 40))
@@ -364,7 +380,7 @@ def test_virtual_bitmap_rows_match_full_table(host_engine):
     """bitmap_rows_table row content == the full table's rows."""
     host, eng = host_engine
     bm, _ = host.bitmap_tables()
-    full = np.asarray(bm)
+    full = np.asarray(_rm(bm))
     rng = np.random.default_rng(3)
     used = np.unique(rng.choice(host.n_grams, 40))
     rows = np.full(64, -1, np.int32)
@@ -457,8 +473,8 @@ def test_gather_rows_dma_interpret(host_engine):
     from stringsearchlib_tpu.ops.bitmap_matmul import gather_rows_dma
 
     host, _ = host_engine
-    bm, _ = host.bitmap_tables()
-    gp = int(bm.shape[0])
+    bm = _rm(host.bitmap_tables()[0])  # the DMA gather is row-major-only
+    gp = _gp(bm)
     rng = np.random.default_rng(3)
     rows = jnp.asarray(
         np.sort(rng.choice(gp, 48, replace=False)).astype(np.int32)
@@ -789,7 +805,7 @@ def test_bitmap_kernel_pair_dots(host_engine):
 
     host, _ = host_engine
     bm, _ = host.bitmap_tables()
-    gp = bm.shape[0]
+    gp = _gp(bm)
     rng = np.random.default_rng(17)
     qcnt = np.zeros((16, gp), np.float32)
     for r in range(16):
@@ -814,7 +830,7 @@ def test_bitmap_kernel_pair_dots_gtiled(monkeypatch):
 
     host = build_index(_corpus(1500, seed=41), 1, None, IndexConfig())
     bm, _ = host.bitmap_tables()
-    gp = bm.shape[0]
+    gp = _gp(bm)
     monkeypatch.setattr(bmod, "SBLK_MAX", 128)
     monkeypatch.setattr(bmod, "GBLK", 128)
     assert gp % 128 == 0 and gp // 128 > 1
@@ -837,7 +853,7 @@ def test_gather_rows_pallas_matches_take(host_engine):
     from stringsearchlib_tpu.ops.bitmap_matmul import gather_rows_pallas
 
     host, _ = host_engine
-    bm, _ = host.bitmap_tables()
+    bm = _rm(host.bitmap_tables()[0])  # the row-DMA gather is row-major-only
     rng = np.random.default_rng(9)
     rows = rng.integers(0, bm.shape[0], size=64).astype(np.int32)
     got = np.asarray(
@@ -845,3 +861,38 @@ def test_gather_rows_pallas_matches_take(host_engine):
     )
     want = np.asarray(bm)[rows]
     np.testing.assert_array_equal(got, want)
+
+
+def test_bitmap_kernel_tile_major_parity(host_engine):
+    """Tile-major (ntiles, G, BLKB) tables must produce identical hits
+    and blockmax to the row-major layout for every dot mode."""
+    import jax.numpy as jnp
+
+    from stringsearchlib_tpu.ops.bitmap_matmul import (
+        bitmap_hits, bitmap_hits_bmax, to_tile_major,
+    )
+
+    host, _ = host_engine
+    bm3, _ = host.bitmap_tables()
+    assert bm3.ndim == 3  # resident layout is tile-major
+    bm2 = _rm(bm3)
+    np.testing.assert_array_equal(
+        np.asarray(to_tile_major(bm2)), np.asarray(bm3)
+    )
+    gp = _gp(bm3)
+    rng = np.random.default_rng(29)
+    qcnt = np.zeros((16, gp), np.float32)
+    for r in range(16):
+        cols = rng.choice(gp, size=12, replace=False)
+        qcnt[r, cols] = rng.integers(1, 3, size=12)
+    q = jnp.asarray(qcnt, dtype=jnp.bfloat16)
+    for dots in (False, True, "pair"):
+        want = np.asarray(bitmap_hits(q, bm2, interpret=True,
+                                      int8_dots=dots))
+        got = np.asarray(bitmap_hits(q, bm3, interpret=True,
+                                     int8_dots=dots))
+        np.testing.assert_array_equal(got, want)
+    h2, b2 = bitmap_hits_bmax(q, bm2, interpret=True, int8_dots="pair")
+    h3, b3 = bitmap_hits_bmax(q, bm3, interpret=True, int8_dots="pair")
+    np.testing.assert_array_equal(np.asarray(h3), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(b3), np.asarray(b2))
