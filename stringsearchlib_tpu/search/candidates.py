@@ -685,17 +685,77 @@ def _hstar_finish(
     hb = jnp.take_along_axis(h3, fid[:, :, None], axis=1)  # (b, kb2, blk)
     hb = jnp.where(fvalid[:, :, None], hb, np.int8(0))
     kb2_eff = hb.shape[1]
-    col2 = (
-        fid[:, :, None] * blk + jnp.arange(blk, dtype=jnp.int32)[None, None, :]
-    ).reshape(b, kb2_eff * blk)
+
+    # -- 32-lane fine level (sub-block compaction) --------------------------
+    # The lane ops below (pass mask, lane histogram, top-n_cand) cost
+    # ~40 ms per 256-query chunk at kb2*128 = 131k lanes, almost all of
+    # it the value top-k (tools/probe_sel_r5.py).  The candidate
+    # structure is ~1 relevant term per 128-block (docs/PERF.md round 4),
+    # so rank the kept blocks' 32-lane SUB-blocks by their maxima -
+    # another exact integer level, same construction as h* - and run the
+    # lane stage on kb3*32 lanes instead.  All sub-blocks with max >=
+    # the level are kept (counts exact), so lanes in dropped sub-blocks
+    # are bounded by (h32-1)/nqg: integer-tie-proof, joins the guard.
+    # n_pass counts BEFORE compaction (the short-path coverage test
+    # compares it against the selection width).
+    sub_w = 32
+    nsub = blk // sub_w
+    kb3 = min(kb2, kb2_eff * nsub)
+    pass_full = (hb > 0) & (n_qgrams[:, None, None] > 0) & (
+        hb.astype(jnp.float32) / nqg_f[:, None, None] >= threshold
+    )
+    n_pass_in = jnp.sum(pass_full.astype(jnp.int32), axis=(1, 2))
+    u_sub = jnp.full((b,), _NEG_INF)
+    if kb3 < kb2_eff * nsub:
+        hb4 = hb.reshape(b, kb2_eff * nsub, sub_w)
+        sm = jnp.max(hb4, axis=2)  # (b, kb2_eff*nsub) int8
+        cnt32 = jnp.sum(
+            (sm[:, :, None] >= vals[None, None, :]).astype(jnp.int32),
+            axis=1,
+        )
+        fit32 = cnt32 <= kb3  # monotone in v
+        first32 = jnp.argmax(fit32, axis=1).astype(jnp.int32) + 1
+        first32 = jnp.where(
+            jnp.any(fit32, axis=1), first32, np.int32(vmax + 1)
+        )
+        # sub-blocks whose max < floor_h hold no passing lane, so the
+        # level clamps to floor_h; cov32 marks full relevant coverage
+        h32 = jnp.maximum(first32, floor_h)
+        cov32 = jnp.take_along_axis(
+            fit32, jnp.clip(floor_h - 1, 0, vmax - 1)[:, None], axis=1
+        )[:, 0]
+        sv, ss = jax.lax.top_k(sm, kb3)  # all sub-blocks >= h32 selected
+        svalid = sv >= h32.astype(jnp.int8)[:, None]
+        hb = jnp.where(
+            svalid[:, :, None],
+            jnp.take_along_axis(hb4, ss[:, :, None], axis=1),
+            np.int8(0),
+        )  # (b, kb3, sub_w)
+        fid_g = jnp.take_along_axis(fid, ss // nsub, axis=1)
+        col2 = (
+            (fid_g * blk + (ss % nsub) * sub_w)[:, :, None]
+            + jnp.arange(sub_w, dtype=jnp.int32)[None, None, :]
+        ).reshape(b, kb3 * sub_w)
+        u_sub = jnp.where(
+            cov32, _NEG_INF, (h32.astype(jnp.float32) - 1.0) / nqg_f
+        )
+        lane_w = sub_w
+        kb_lanes_eff = kb3
+    else:
+        col2 = (
+            fid[:, :, None] * blk
+            + jnp.arange(blk, dtype=jnp.int32)[None, None, :]
+        ).reshape(b, kb2_eff * blk)
+        cov32 = jnp.ones((b,), bool)
+        lane_w = blk
+        kb_lanes_eff = kb2_eff
     s2 = hb.astype(jnp.float32) / nqg_f[:, None, None]
     pass2 = (hb > 0) & (n_qgrams[:, None, None] > 0) & (
         s2 >= threshold
     )
     # passing hits, zero elsewhere: the integer lane-selection operand
-    hbp = jnp.where(pass2, hb, np.int8(0)).reshape(b, kb2_eff * blk)
-    s2f = s2.reshape(b, kb2_eff * blk)
-    n_pass_in = jnp.sum(pass2.astype(jnp.int32), axis=(1, 2))
+    hbp = jnp.where(pass2, hb, np.int8(0)).reshape(b, kb_lanes_eff * lane_w)
+    s2f = s2.reshape(b, kb_lanes_eff * lane_w)
     # lane-level integer threshold, same construction as h*: exact counts
     # of passing lanes per hit level pick h_l = the smallest level whose
     # lanes fit n_cand; a top-k by hit value then provably selects EVERY
@@ -721,8 +781,8 @@ def _hstar_finish(
     )
 
     def one(args):
-        (qtok, qlen, hrow, hbr, s2r, col2r, u_br, u_lr, bcov, lcov, npi,
-         promo, p_t, p_w, limit, nqg, us) = args
+        (qtok, qlen, hrow, hbr, s2r, col2r, u_br, u_lr, u_sr, bcov, lcov,
+         scov, npi, promo, p_t, p_w, limit, nqg, us) = args
         qlen_f = jnp.maximum(qlen.astype(jnp.float32), 1.0)
         nqg_f1 = jnp.maximum(nqg.astype(jnp.float32), 1.0)
 
@@ -764,9 +824,12 @@ def _hstar_finish(
             s_sel = s_cat[lsc]
             sel_cov = npi <= ub.shape[0]
             u_c = jnp.maximum(
-                jnp.where(sel_cov, _NEG_INF, ub[-1]), u_br
+                jnp.maximum(
+                    jnp.where(sel_cov, _NEG_INF, ub[-1]), u_br
+                ),
+                u_sr,
             )
-            covered = bcov & sel_cov
+            covered = bcov & sel_cov & scov
         else:
             def term_score(p_t):
                 s, ok = s_at(p_t - ts)
@@ -777,8 +840,8 @@ def _hstar_finish(
             lsc = jnp.clip(ls, 0, col2r.shape[0] - 1)
             t_sel = ts + col2r[lsc]
             s_sel = hv.astype(jnp.float32) / nqg_f1
-            u_c = jnp.maximum(u_lr, u_br)
-            covered = bcov & lcov
+            u_c = jnp.maximum(jnp.maximum(u_lr, u_br), u_sr)
+            covered = bcov & lcov & scov
         return _finish_selected(
             di, pt, xt, t_sel, s_sel, sel_valid, u_c, covered, term_score,
             (promo, p_t, p_w), limit, threshold, n_edge=n_edge,
@@ -786,9 +849,9 @@ def _hstar_finish(
         )
 
     return jax.vmap(one)(
-        (qtokens, qlens, hits, hbp, s2f, col2, u_blk, u_lane,
-         covered_blocks, lanes_cov, n_pass_in, promo_ids, promo_terms,
-         promo_weights, limits, n_qgrams, use_short)
+        (qtokens, qlens, hits, hbp, s2f, col2, u_blk, u_lane, u_sub,
+         covered_blocks, lanes_cov, cov32, n_pass_in, promo_ids,
+         promo_terms, promo_weights, limits, n_qgrams, use_short)
     )
 
 

@@ -108,8 +108,7 @@ def main():
 
     @jax.jit
     def bmax128(h):
-        return jnp.max(h.reshape(b, nblk, blk).astype(jnp.int32), axis=2
-                       ).astype(jnp.int8)
+        return jnp.max(h.reshape(b, nblk, blk), axis=2)
 
     hmax = jax.block_until_ready(bmax128(hits))
     roll = functools.partial(jnp.roll, shift=1, axis=0)
@@ -135,8 +134,10 @@ def main():
         bm1 = jnp.max(hm3, axis=2)
         bv, bsel = jax.lax.top_k(bm1, kb1)
         sub = jnp.take_along_axis(hm3, bsel[:, :, None], axis=1)
+        subid = bsel[:, :, None] * c1 + jnp.arange(c1, dtype=jnp.int32)
         fv, fs = jax.lax.top_k(sub.reshape(b, kb1 * c1), kb2)
-        return fv, fs
+        fid = jnp.take_along_axis(subid.reshape(b, kb1 * c1), fs, axis=1)
+        return fv, fid  # fid: GLOBAL 128-block ids (production pattern)
 
     timeit("coarse top_k x2 (10k->1024->1024)",
            lambda r: s_coarse(roll(hmax)))
@@ -156,7 +157,9 @@ def main():
     timeit("hits gather (b,1024,128)", lambda r: s_gather128(hits, roll(fid)))
 
     hb = jax.block_until_ready(
-        jax.jit(lambda: s_gather128(hits, fid).reshape(b, kb2 * blk))()
+        jax.jit(
+            lambda h, f: s_gather128(h, f).reshape(b, kb2 * blk)
+        )(hits, fid)
     )
 
     @jax.jit
@@ -178,9 +181,7 @@ def main():
     # --- proposed 32-lane fine level ---
     @jax.jit
     def s_bmax32(h):
-        return jnp.max(
-            h.reshape(b, nblk32, 32).astype(jnp.int32), axis=2
-        ).astype(jnp.int8)
+        return jnp.max(h.reshape(b, nblk32, 32), axis=2)
 
     timeit("XLA bmax32 over full hits", lambda r: s_bmax32(roll(hits)))
 
@@ -190,14 +191,12 @@ def main():
         hb4 = jnp.take_along_axis(
             h.reshape(b, nblk, blk), f[:, :, None], axis=1
         ).reshape(b, kb2, 4, 32)
-        return jnp.max(hb4.astype(jnp.int32), axis=3).astype(jnp.int8)
+        return jnp.max(hb4, axis=3)
 
     timeit("bmax32 of kept blocks (gather+reduce)",
            lambda r: s_bmax32_of128(hits, roll(fid)))
 
-    sub32 = jax.block_until_ready(
-        jax.jit(lambda: s_bmax32_of128(hits, fid))()
-    )
+    sub32 = jax.block_until_ready(s_bmax32_of128(hits, fid))
 
     @jax.jit
     def s_fine32(s32, h, f):
@@ -216,7 +215,7 @@ def main():
     timeit("fine32: top_k(4096)+gather 33k lanes",
            lambda r: s_fine32(sub32, hits, roll(fid)))
 
-    hb32, _ = jax.jit(lambda: s_fine32(sub32, hits, fid))()
+    hb32, _ = s_fine32(sub32, hits, fid)
     hb32 = jax.block_until_ready(hb32)
 
     timeit("topk_chunked (b,33k)->1024",
