@@ -869,6 +869,9 @@ class SearchEngine:
     # huge indexes.
     GATHER_BATCH = 8
     GATHER_ROWS_MAX = 512
+    # force the gathered-row route on tile-major tables (tests; the
+    # tile-major full-table kernel beats the gather at every tiny batch)
+    BITMAP_GATHER_TMAJ = False
     # Hardware-validated switches (round 3, v5e).  The class defaults ARE
     # the proven configuration - a gitignored state file must never again
     # be the only thing standing between the driver's bench and a slow
@@ -1244,29 +1247,35 @@ class SearchEngine:
                 and fits_vmem(16, gp_rows)
                 and (gp_rows <= SBLK_MAX or self.BITMAP_GTILE_OK)
             )
-            # SMALL batches skip the full-table stream entirely: the
-            # kernel pays ~62 ms of fixed unpack+dot at 10M keys per
-            # dispatch, but a few queries' gram union is tens of rows -
-            # gather just those rows (pipelined HBM->HBM DMAs) and take
-            # 8 per-plane dots against the compact count operand
-            # (candidates_bitmap_gather); work follows the union size.
+            # SMALL batches on ROW-MAJOR tables skip the full-table
+            # stream: that kernel paid ~62 ms of fixed unpack+dot at 10M
+            # keys per dispatch, while a few queries' gram union is tens
+            # of rows (candidates_bitmap_gather).  TILE-MAJOR tables
+            # invert the trade: the contiguous-block kernel at b=8 runs
+            # the whole table in 3.8 ms (stream-bound) while the axis-1
+            # row gather costs 24.5 ms (tools/probe_single_r5.py), so
+            # tiny batches just take the normal kernel route.
+            # BITMAP_GATHER_TMAJ forces the gathered route for tests.
             bm_gather = False
             gplan = None
             if (
                 bm_kernel
                 and not bm_virtual
                 and len(items) <= self.GATHER_BATCH
+                and (bm[0].ndim != 3 or self.BITMAP_GATHER_TMAJ)
             ):
                 gplan = self._gather_rows_plan(slots)
                 bm_gather = gplan is not None
-            # singleton batches: the XLA per-slot scan costs ~28 ms at
-            # 10M (proportional to B) vs the kernel's fixed ~65 ms of
-            # full-table unpack+dot (tools/probe_b512_tiny.py; at B >= 8
-            # the scan loses badly, 368 ms).  Only reached when the
-            # gathered route declined (huge gram union).
+            # singleton batches, row-major tables: the XLA per-slot scan
+            # costs ~28 ms at 10M (proportional to B) vs that kernel's
+            # fixed ~65 ms of full-table unpack+dot
+            # (tools/probe_b512_tiny.py; at B >= 8 the scan loses badly,
+            # 368 ms).  Only reached when the gathered route declined
+            # (huge gram union); never on tile-major (kernel wins flat).
             if (
                 bm_kernel and not bm_gather
                 and len(items) <= self.TINY_SCAN_BATCH
+                and bm[0].ndim != 3
             ):
                 bm_kernel = False
             bm_fused = bm_kernel and (

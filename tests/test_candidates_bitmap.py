@@ -559,6 +559,7 @@ def test_engine_gather_routing(monkeypatch):
     host = build_index(_corpus(3000, seed=61), 1, None, IndexConfig())
     eng = SearchEngine(host)
     eng.GM_BUDGET = 0
+    eng.BITMAP_GATHER_TMAJ = True  # tile-major default routes the kernel
     monkeypatch.setattr(cmod, "GATHER_IMPL", "take")
     monkeypatch.setattr(
         cmod, "candidates_bitmap_gather",
@@ -779,13 +780,16 @@ def test_hstar_gated_off_for_weighted_index(monkeypatch):
     )
     monkeypatch.setattr(emod.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(eng, "CAND_MIN_TERMS", 100)
-    # two queries route the gathered front end; h* must stay off there too
+    # two queries route the gathered front end (forced on tile-major);
+    # h* must stay off there too
+    eng.BITMAP_GATHER_TMAJ = True
     eng.search_batch(
         [words[0][:-1] + "x", words[1][:-1] + "x"], 0.25, 10,
         mode="candidates",
     )
     assert eng.last_routing["variant"] == "bitmap_gather"
     assert eng.last_routing["hstar"] is False
+    eng.BITMAP_GATHER_TMAJ = False
     # and a full-size batch keeps h* off on the kernel route as well
     eng.search_batch(
         [w[:-1] + "x" for w in words[:12]], 0.25, 10, mode="candidates",
