@@ -1296,7 +1296,14 @@ class SearchEngine:
             gp_eff = gp_rows
             if bm_gather:
                 g_rows, bm_slots, g_gc = gplan
-            elif bm_kernel and self.BITMAP_COMPACT_ROWS:
+            elif (bm_kernel and self.BITMAP_COMPACT_ROWS
+                    and bm[0].ndim != 3):
+                # row compaction is a ROW-MAJOR trade: on tile-major
+                # tables the axis-1 gather runs at ~1.6 GB/s (512-byte
+                # strided chunks; tools/probe_single_r5.py) while the
+                # contiguous-block kernel it would shrink is already
+                # stream-bound - the gather costs more than the saved
+                # dots at every measured shape
                 comp = self._compact_gram_rows(slots, gp_rows)
                 if comp is not None:
                     bm_rows, bm_slots, gp_eff = comp

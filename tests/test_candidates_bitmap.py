@@ -298,6 +298,10 @@ def test_engine_compact_rows_parity(monkeypatch):
         for _ in range(4000)
     ]  # gram-rich: thousands of distinct trigrams
     host = build_index(words, 1, None, IndexConfig())
+    # row compaction is a row-major-table trade (the engine declines it
+    # on tile-major); pin the cache to the row-major layout to drive it
+    bm3, tlp = host.bitmap_tables()
+    host._bitmap_cache = (_rm(bm3), tlp)
     eng = SearchEngine(host)
     eng.GM_BUDGET = 0
     monkeypatch.setattr(
