@@ -301,6 +301,21 @@ def _rescore_rows(tg_rows, qslots, nqg_f, threshold, row_valid):
     return s, p
 
 
+def _sel_bound(vec, vmin, k):
+    """Sound, tie-TIGHT bound on the values a top-k selection dropped.
+
+    ``vmin`` is the k-th selected value.  When every value >= vmin was
+    selected (count fits k), the dropped maximum is the largest value
+    STRICTLY below vmin - one masked max - which cannot tie a kept
+    cutoff score, where the naive ``vmin`` bound lands inside the tie
+    class and fails the exactness guard (the round-3 2D config retried
+    38/1024 rows on exactly this).  When ties straddle the cutoff the
+    bound honestly stays vmin."""
+    n_ge = jnp.sum((vec >= vmin).astype(jnp.int32))
+    nxt = jnp.max(jnp.where(vec < vmin, vec, _NEG_INF))
+    return jnp.where(n_ge <= k, nxt, vmin)
+
+
 def candidates_sketch_impl(
     di,
     inc,  # (D, Tlp) int8 bucket incidence
@@ -382,14 +397,16 @@ def candidates_sketch_impl(
         sbv, sbi = topk_chunked(sbmax, ksb)
         sb_n = jnp.sum((sbmax > _NEG_INF).astype(jnp.int32))
         sb_cov = sb_n <= ksb
-        u_sb = jnp.where(sb_cov, _NEG_INF, sbv[-1])
+        u_sb = jnp.where(sb_cov, _NEG_INF, _sel_bound(sbmax, sbv[-1], ksb))
 
         bm_g = bm_row.reshape(sb, _SUPER)[sbi].reshape(-1)  # (ksb*SUPER,)
         bv, bloc = topk_chunked(bm_g, kb)
         blk = sbi[bloc // _SUPER] * _SUPER + (bloc % _SUPER)  # global blocks
         blk_n = jnp.sum((bm_g > _NEG_INF).astype(jnp.int32))
         blk_cov = blk_n <= kb
-        u_blk = jnp.where(blk_cov, _NEG_INF, bv[-1])
+        u_blk = jnp.where(
+            blk_cov, _NEG_INF, _sel_bound(bm_g, bv[-1], kb)
+        )
 
         h_blk = h_row.reshape(nb, _BLK)[blk]  # (kb, BLK)
         w_blk = wmax_pad.reshape(nb, _BLK)[blk]
@@ -402,7 +419,9 @@ def candidates_sketch_impl(
         lane = blk[li // _BLK] * _BLK + (li % _BLK)  # long-term local ids
         lane_n = jnp.sum((u2 > _NEG_INF).astype(jnp.int32))
         lane_cov = lane_n <= n_cand
-        u_lane = jnp.where(lane_cov, _NEG_INF, uv[-1])
+        u_lane = jnp.where(
+            lane_cov, _NEG_INF, _sel_bound(u2, uv[-1], n_cand)
+        )
 
         sel_sketch = uv > _NEG_INF
         u_c_long = jnp.maximum(jnp.maximum(u_sb, u_blk), u_lane)
@@ -432,7 +451,10 @@ def candidates_sketch_impl(
             usv, usel = topk_chunked(u_short, n_short_cand)
             s_n = jnp.sum((u_short > _NEG_INF).astype(jnp.int32))
             s_cov = s_n <= n_short_cand
-            u_c_short = jnp.where(s_cov, _NEG_INF, usv[-1])
+            u_c_short = jnp.where(
+                s_cov, _NEG_INF,
+                _sel_bound(u_short, usv[-1], n_short_cand),
+            )
             t_sel = jnp.concatenate([usel, t_long])
             s_sel = jnp.concatenate([s_short[usel], s_long])
             sel_valid = jnp.concatenate([usv > _NEG_INF, p_long])
