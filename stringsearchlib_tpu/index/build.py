@@ -212,10 +212,14 @@ class HostIndex:
 
         kind 'ones': col = term, value 1 (dense 0/1 incidence).
         kind 'bits': plane-tiled packed bytes (ops.bitmap_matmul layout).
+        kind 'bits3': same bytes scattered DIRECTLY into the tile-major
+        (ntiles, n_rows, BLKB) residency - building row-major and
+        transposing doubled peak HBM (a 5.9 GB gram-rich table OOM'd the
+        16 GB chip during its own transpose).
         """
         import jax
 
-        from ..ops.bitmap_matmul import plane_coords
+        from ..ops.bitmap_matmul import BLKB, plane_coords
 
         gp_host = np.asarray(jax.device_get(self.device.gram_ptr), np.int64)
         g = self.n_grams
@@ -249,12 +253,20 @@ class HostIndex:
                 - 1
                 - lo
             )
-            if kind == "bits":
+            if kind in ("bits", "bits3"):
                 col, bit = plane_coords(seg)
                 val = jnp.uint8(1) << bit.astype(jnp.uint8)
             else:
                 col, val = seg, jnp.uint8(1)
-            flat = rows * np.int32(n_cols) + col
+            if kind == "bits3":
+                # tile-major flat index: (tile * rows + row) * BLKB + k.
+                # Same rows_here * n_cols int32 bound as row-major.
+                flat = (
+                    (col // BLKB) * np.int32(rows_here)
+                    + rows
+                ) * np.int32(BLKB) + col % BLKB
+            else:
+                flat = rows * np.int32(n_cols) + col
             oob = np.int32(min(rows_here * n_cols, 2**31 - 1))
             ok = (rows >= 0) & (rows < rows_here) & (gpos < gram_ptr[-1])
             flat = jnp.where(ok, flat, oob)
@@ -263,8 +275,12 @@ class HostIndex:
                 .at[flat]
                 .add(val, mode="drop")
             )
+            shape = (
+                (n_cols // BLKB, rows_here, BLKB)
+                if kind == "bits3" else (rows_here, n_cols)
+            )
             return jax.lax.bitcast_convert_type(
-                packed.reshape(rows_here, n_cols), jnp.int8
+                packed.reshape(shape), jnp.int8
             )
 
         gt = self.device.gram_terms
@@ -279,7 +295,11 @@ class HostIndex:
                     hi - lo, n_cols, kind,
                 )
             )
-        return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
+        cat_axis = 1 if kind == "bits3" else 0  # gram axis position
+        return (
+            pieces[0] if len(pieces) == 1
+            else jnp.concatenate(pieces, cat_axis)
+        )
 
     def gram_matrix(self, budget_bytes: int = 1536 << 20):
         """Dense 0/1 gram->long-term incidence matrix as device bf16, or
@@ -342,17 +362,14 @@ class HostIndex:
         if g == 0 or tl == 0 or g_pad * (tl_pad // 8) > budget_bytes:
             self._bitmap_cache = False
             return None
-        bm = self._incidence_slabs(g_pad, tl_pad // 8, "bits")
         # resident layout is TILE-MAJOR (ntiles, G_pad, BLKB): a kernel
         # grid block is then one contiguous ~1.4 MB HBM chunk instead of
         # G_pad disjoint 512-byte segments - the pair kernel measured
         # 45-62 -> 27.7 ms per 256 queries at 10M terms from this alone
-        # (tools/probe_layout_r5.py).  One on-device transpose, one-time.
-        import jax
-
-        from ..ops.bitmap_matmul import to_tile_major
-
-        bm = jax.jit(to_tile_major)(bm)
+        # (tools/probe_layout_r5.py).  Scattered directly in that order
+        # ('bits3'): a row-major build + transpose doubled peak HBM and
+        # OOM'd the 5.9 GB gram-rich table.
+        bm = self._incidence_slabs(g_pad, tl_pad // 8, "bits3")
         self._bitmap_cache = (bm, tl_pad)
         return self._bitmap_cache
 

@@ -571,6 +571,21 @@ def _unpack_planes(rows):
     return jnp.concatenate(planes, axis=-2).reshape(*lead, nb * 8)
 
 
+def _tight_bound(vals2d, vmin, k):
+    """Sound, tie-TIGHT bound on what a per-row value top-k dropped.
+
+    ``vmin`` (b,) is each row's k-th selected value.  Where every value
+    >= vmin was selected (count fits k), the dropped maximum is the
+    largest value STRICTLY below vmin - one masked max - which cannot
+    tie a kept cutoff score.  Where ties straddle the cutoff the bound
+    honestly stays vmin (the guard escalates those rows)."""
+    n_ge = jnp.sum((vals2d >= vmin[:, None]).astype(jnp.int32), axis=1)
+    nxt = jnp.max(
+        jnp.where(vals2d < vmin[:, None], vals2d, _NEG_INF), axis=1
+    )
+    return jnp.where(n_ge <= k, nxt, vmin)
+
+
 def _hstar_finish(
     di, pt, xt, hits, hmax, qtokens, qlens, n_qgrams, use_short, promo_ids,
     promo_terms, promo_weights, limits, threshold, *, compute_short,
@@ -615,21 +630,21 @@ def _hstar_finish(
     if n1 * c1 != nblk:
         hm = jnp.pad(hmax, ((0, 0), (0, n1 * c1 - nblk)),
                      constant_values=np.int8(-1))
+    nqg_f = jnp.maximum(n_qgrams.astype(jnp.float32), 1.0)
+    floor_h = jnp.clip(
+        jnp.ceil(threshold * nqg_f - 1e-6).astype(jnp.int32), 1, vmax
+    )  # smallest hit count that can reach the threshold
+    vals = np.arange(1, vmax + 1, dtype=np.int8)  # hits <= Qmax <= vmax
     hm3 = hm.reshape(b, n1, c1)
     bm1 = jnp.max(hm3, axis=2)  # (b, n1) int8
 
     # -- exact block counts and h* (integer, per query) --------------------
-    vals = np.arange(1, vmax + 1, dtype=np.int8)  # hits <= Qmax <= vmax
     cnt128 = jnp.sum(
         (hm[:, :, None] >= vals[None, None, :]).astype(jnp.int32), axis=1
     )  # (b, vmax)
     cnt1 = jnp.sum(
         (bm1[:, :, None] >= vals[None, None, :]).astype(jnp.int32), axis=1
     )
-    nqg_f = jnp.maximum(n_qgrams.astype(jnp.float32), 1.0)
-    floor_h = jnp.clip(
-        jnp.ceil(threshold * nqg_f - 1e-6).astype(jnp.int32), 1, vmax
-    )  # smallest hit count that can reach the threshold
     fits = (cnt128 <= kb2) & (cnt1 <= kb1)  # monotone in v
     first_fit = jnp.argmax(fits, axis=1).astype(jnp.int32) + 1
     any_fit = jnp.any(fits, axis=1)
@@ -926,9 +941,15 @@ def _blockmax_finish(
     nb_nonempty = jnp.sum((bmax > _NEG_INF).astype(jnp.int32), axis=1)
     bvals, bsel, bmiss = topk_guarded(bmax, kb, approx=approx)
     blocks_cov = (nb_nonempty <= kb) & ~bmiss
+    # tie-TIGHT dropped-block bound (exact selection only: approx_max_k
+    # can miss values above the cutoff, so the all-kept count check
+    # behind _tight_bound would be unsound there)
+    blk_bound = (
+        bvals[:, -1] if approx else _tight_bound(bmax, bvals[:, -1], kb)
+    )
     u_b = jnp.where(
         blocks_cov, _NEG_INF,
-        jnp.where(bmiss, np.float32(np.inf), bvals[:, -1]),
+        jnp.where(bmiss, np.float32(np.inf), blk_bound),
     )
     bsel_c = jnp.clip(bsel, 0, nblk - 1)
     hb = jnp.take_along_axis(h3, bsel_c[:, :, None], axis=1)  # (b,kb,blk)
@@ -992,10 +1013,16 @@ def _blockmax_finish(
         s_sel = s_cat[lsc]
         n_in = jnp.sum((u_cat > _NEG_INF).astype(jnp.int32))
         sel_cov = (n_in <= ub.shape[0]) & ~lmiss
+        if approx:
+            lane_bound = ub[-1]
+        else:  # tie-tight (see _tight_bound); per-row form
+            lane_bound = _tight_bound(
+                u_cat[None, :], ub[-1][None], ub.shape[0]
+            )[0]
         u_c = jnp.maximum(
             jnp.where(
                 sel_cov, _NEG_INF,
-                jnp.where(lmiss, np.float32(np.inf), ub[-1]),
+                jnp.where(lmiss, np.float32(np.inf), lane_bound),
             ),
             u_br,
         )

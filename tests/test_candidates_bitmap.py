@@ -241,6 +241,14 @@ def test_incidence_slabs_multislab_parity(host_engine):
             host._incidence_slabs(bm2.shape[0], nb, "bits", max_flat=cap)
         )
         np.testing.assert_array_equal(many, one)
+        # tile-major direct scatter ('bits3') == transpose of row-major,
+        # across the same slab splits
+        many3 = np.asarray(
+            host._incidence_slabs(bm2.shape[0], nb, "bits3", max_flat=cap)
+        )
+        np.testing.assert_array_equal(
+            many3.transpose(1, 0, 2).reshape(bm2.shape[0], nb), one
+        )
     gm = np.asarray(host.gram_matrix(1 << 40))
     g, tl = gm.shape
     many = np.asarray(
