@@ -975,8 +975,12 @@ class SearchEngine:
         )
         cls.BITMAP_GTILE_OK = bool(hw.get("gtile_ok", cls.BITMAP_GTILE_OK))
         cls.BITMAP_BMAX_BLK = int(hw.get("bmax_blk", cls.BITMAP_BMAX_BLK))
-    SK_KSB = 256  # superblocks kept per query (first pass)
-    SK_KB = 512  # blocks kept per query (first pass)
+    # sketch-path first-pass budgets: kb=1024 clears the fat-tie guard
+    # failures the 512-budget hit (34 -> 3 of 512 at the 2D config) and
+    # ksb=512 adds +7% e2e; the 32-lane fine level in the sketch finish
+    # keeps the lane top-k at kb3*32 lanes regardless (tools/probe_2d_r5)
+    SK_KSB = 512  # superblocks kept per query (first pass)
+    SK_KB = 1024  # blocks kept per query (first pass)
 
     def _run_candidate_chunks(self, items, threshold, limit, batch_bucket, qp, out):
         """Candidate-sparse batches; returns rows needing a dense retry.
