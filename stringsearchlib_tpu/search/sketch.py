@@ -415,44 +415,22 @@ def candidates_sketch_impl(
         # blocks below the selection never contribute; mask by block validity
         p_blk = p_blk & (bv > _NEG_INF)[:, None]
         u2 = jnp.where(p_blk, w_blk * s_blk, _NEG_INF).reshape(-1)
-        # 32-lane fine level before the value top-k: the candidate
-        # structure is ~1 relevant term per 128-block, so ranking the
-        # kept blocks' 32-lane sub-blocks by their maxima shrinks the
-        # dominant lane top-k from kb*128 to kb3*32 lanes (the same
-        # restructure that cut the h* finish; tools/probe_sel_r5.py).
-        # Lanes in dropped sub-blocks are bounded tie-tight by u_sub.
-        nsub = _BLK // 32
-        kb3 = min(kb * nsub, max(n_cand // 4, 1024))
-        lane_n = jnp.sum((u2 > _NEG_INF).astype(jnp.int32))
-        if kb3 < kb * nsub:
-            u4 = u2.reshape(kb * nsub, 32)
-            sm = jnp.max(u4, axis=1)  # (kb*nsub,)
-            sv, si = topk_chunked(sm, kb3)
-            sub_n = jnp.sum((sm > _NEG_INF).astype(jnp.int32))
-            sub_cov = sub_n <= kb3
-            u_sub = jnp.where(
-                sub_cov, _NEG_INF, _sel_bound(sm, sv[-1], kb3)
-            )
-            u2c = u4[si].reshape(-1)  # (kb3*32,)
-            uv, li0 = topk_chunked(u2c, n_cand)
-            sub_sel = si[li0 // 32]
-            li = sub_sel * 32 + (li0 % 32)
-            u_lane_vec = u2c
-        else:
-            sub_cov = jnp.bool_(True)
-            u_sub = _NEG_INF
-            uv, li = topk_chunked(u2, n_cand)
-            u_lane_vec = u2
+        # (A 32-lane fine level before this top-k - the restructure that
+        # cut the h* finish - measured 12x SLOWER here: the vmapped
+        # per-query sub-block gather/top-k chain lowered pathologically,
+        # 1,335 -> 112 q/s at the 2D config.  Negative result, round 5;
+        # the batched h* formulation does not transplant into the
+        # per-query vmap body.)
+        uv, li = topk_chunked(u2, n_cand)
         lane = blk[li // _BLK] * _BLK + (li % _BLK)  # long-term local ids
-        lane_cov = (lane_n <= n_cand) & sub_cov
+        lane_n = jnp.sum((u2 > _NEG_INF).astype(jnp.int32))
+        lane_cov = lane_n <= n_cand
         u_lane = jnp.where(
-            lane_cov, _NEG_INF, _sel_bound(u_lane_vec, uv[-1], n_cand)
+            lane_cov, _NEG_INF, _sel_bound(u2, uv[-1], n_cand)
         )
 
         sel_sketch = uv > _NEG_INF
-        u_c_long = jnp.maximum(
-            jnp.maximum(jnp.maximum(u_sb, u_blk), u_sub), u_lane
-        )
+        u_c_long = jnp.maximum(jnp.maximum(u_sb, u_blk), u_lane)
         long_cov = sb_cov & blk_cov & lane_cov
 
         # -- exact rescoring of the selected lanes --------------------------
