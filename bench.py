@@ -216,22 +216,40 @@ def _run_config(words, n_queries, threshold, limit, reps, singles=0,
         }
     if singles:
         qs = queries[:singles]
+        import jax
+        import jax.numpy as jnp
+
+        def io_nop(r):
+            # transport floor with the singleton's I/O pattern: fresh
+            # small uploads, trivial compute, scalar fetch
+            ups = [
+                jnp.asarray(np.full((8, 32), r, np.int32))
+                for _ in range(8)
+            ]
+            return jax.device_get(sum(u.sum() for u in ups))
+
         engine.search(qs[0], threshold, limit)  # warm single variants
-        t2 = time.perf_counter()
-        for q in qs:
+        io_nop(0)
+        # INTERLEAVE the transport-floor nops with the singles: the
+        # tunnel round trip drifts 23-45 ms across minutes, so an rtt
+        # snapshot taken before or after the loop makes the subtraction
+        # noise-dominated (round-4/5 logs: engine.search p50 measured
+        # BELOW a stale rtt median).  Paired medians cancel the drift.
+        lat_q, lat_n = [], []
+        for r, q in enumerate(qs):
+            t2 = time.perf_counter()
             engine.search(q, threshold, limit)
-        out["single_query_p50_ms"] = round(
-            (time.perf_counter() - t2) / len(qs) * 1e3, 3
-        )
+            lat_q.append(time.perf_counter() - t2)
+            t2 = time.perf_counter()
+            io_nop(r + 1)
+            lat_n.append(time.perf_counter() - t2)
+        p50q = float(np.percentile(np.array(lat_q), 50) * 1e3)
+        p50n = float(np.percentile(np.array(lat_n), 50) * 1e3)
+        out["single_query_p50_ms"] = round(p50q, 3)
         out["single_query_routing"] = dict(engine.last_routing)
-        # tunnel-excluded estimate (BASELINE tracks top-100 p50): each
-        # single query pays one dispatch+fetch round trip that a
-        # direct-attached chip would not
-        rtt = _tunnel_rtt_ms()
-        out["tunnel_rtt_ms"] = round(rtt, 1)
-        out["single_query_device_ms_est"] = round(
-            max(out["single_query_p50_ms"] - rtt, 0.0), 3
-        )
+        out["tunnel_rtt_ms"] = round(_tunnel_rtt_ms(), 1)
+        out["tunnel_rtt_upload_ms"] = round(p50n, 1)
+        out["single_query_device_ms_est"] = round(max(p50q - p50n, 0.0), 3)
     del engine, host, gm, bm, sk
     gc.collect()
     return out
